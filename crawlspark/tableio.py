@@ -1,0 +1,185 @@
+"""Snapshot table store — Iceberg-style ACID semantics on plain parquet.
+
+The north rule wants frontier/seen/robots/lineage state checkpointed to
+Iceberg so any round is resumable. This sandbox has no Iceberg runtime
+jar (offline), so ``SnapshotCatalog`` provides the subset of Iceberg
+semantics the engine actually relies on (SURVEY §7):
+
+* **Atomic commit**: each round writes new immutable parquet under
+  ``<root>/<table>/snap-<n>/``, then atomically renames a manifest JSON
+  into place (``os.replace``). Readers only ever see a committed
+  manifest → snapshot isolation; a killed writer leaves garbage data
+  files but an intact previous manifest → resume-safe.
+* **Time travel**: ``read(table, snapshot_id=...)``.
+* **Lineage + counters**: the manifest records, per commit, the round,
+  per-stage row counters and per-partition lineage entries supplied by
+  the caller.
+
+On a real cluster the same interface maps 1:1 onto Iceberg
+(``writeTo(...).createOrReplace`` / ``MERGE INTO`` / snapshot reads);
+``use_iceberg=True`` is the config hook for that (requires the runtime
+jar on the classpath — intentionally not exercised here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str, spark: SparkSession, use_iceberg: bool = False):
+        if use_iceberg:
+            raise NotImplementedError(
+                "Iceberg backend requires iceberg-spark-runtime on the "
+                "classpath; offline sandbox uses the snapshot-parquet store."
+            )
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest helpers ---------------------------------------------------
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "manifest.json")
+
+    def _load_manifest(self, table: str) -> dict | None:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def current_snapshot(self, table: str) -> int | None:
+        m = self._load_manifest(table)
+        return None if m is None else m["current"]
+
+    def exists(self, table: str) -> bool:
+        return self.current_snapshot(table) is not None
+
+    # -- IO -----------------------------------------------------------------
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        round_no: int | None = None,
+        lineage: list[dict] | None = None,
+        counters: dict[str, Any] | None = None,
+        mode: str = "overwrite",
+        base_round: int | None = None,
+    ) -> int:
+        """Commit a new snapshot of ``table`` atomically; returns its id.
+
+        ``mode='overwrite'`` — the snapshot is exactly ``df``.
+        ``mode='append'`` — the snapshot is base data ∪ ``df``; only the
+        delta is written (immutable data dirs are shared between
+        snapshots, Iceberg-style), so appending to a 100 TB table costs
+        O(delta), not O(table). The base is the latest snapshot, or —
+        when ``base_round`` is given — the latest snapshot with
+        ``round <= base_round``; basing appends on the last *complete*
+        round makes a replayed (crashed) round idempotent: its orphan
+        append is never referenced again.
+        """
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        manifest = self._load_manifest(table) or {"current": -1, "snapshots": []}
+        snap_id = manifest["current"] + 1
+        data_dir = f"snap-{snap_id:06d}"
+        df.write.mode("overwrite").parquet(os.path.join(tdir, data_dir))
+        dirs = [data_dir]
+        if mode == "append" and manifest["snapshots"]:
+            if base_round is None:
+                base = manifest["snapshots"][-1]
+            else:
+                prior = [
+                    e
+                    for e in manifest["snapshots"]
+                    if e["round"] is not None and e["round"] <= base_round
+                ]
+                base = prior[-1] if prior else None
+            if base is not None:
+                dirs = base["dirs"] + dirs
+        entry = {
+            "id": snap_id,
+            "round": round_no,
+            "committed_at": time.time(),
+            "dirs": dirs,
+            "schema": df.schema.json(),
+            "lineage": lineage or [],
+            "counters": counters or {},
+        }
+        manifest["snapshots"].append(entry)
+        manifest["current"] = snap_id
+        fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))  # the atomic commit point
+        return snap_id
+
+    def _entry(self, table: str, snapshot_id: int | None = None) -> dict:
+        m = self._load_manifest(table)
+        if m is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        snap_id = m["current"] if snapshot_id is None else snapshot_id
+        for e in m["snapshots"]:
+            if e["id"] == snap_id:
+                return e
+        raise FileNotFoundError(f"table {table} has no snapshot {snapshot_id}")
+
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        e = self._entry(table, snapshot_id)
+        tdir = os.path.join(self.root, table)
+        return self.spark.read.parquet(*[os.path.join(tdir, d) for d in e["dirs"]])
+
+    def read_as_of_round(self, table: str, round_no: int) -> DataFrame | None:
+        """Latest snapshot committed at or before ``round_no`` — the
+        resume read: snapshots from a crashed, never-committed round are
+        skipped (their data dirs are simply never referenced again)."""
+        candidates = [
+            e
+            for e in self.history(table)
+            if e["round"] is not None and e["round"] <= round_no
+        ]
+        if not candidates:
+            return None
+        return self.read(table, candidates[-1]["id"])
+
+    def read_or_empty(self, table: str, schema: str) -> DataFrame:
+        if self.exists(table):
+            return self.read(table)
+        return self.spark.createDataFrame([], schema)
+
+    # -- metadata -----------------------------------------------------------
+    def history(self, table: str) -> list[dict]:
+        m = self._load_manifest(table)
+        return [] if m is None else m["snapshots"]
+
+    def counters(self, table: str) -> dict:
+        m = self._load_manifest(table)
+        if m is None or not m["snapshots"]:
+            return {}
+        return m["snapshots"][-1]["counters"]
+
+    def last_committed_round(self, table: str) -> int:
+        """Highest round recorded in the table's history (−1 if none) —
+        the resume point after a crash."""
+        rounds = [s["round"] for s in self.history(table) if s["round"] is not None]
+        return max(rounds) if rounds else -1
+
+    def expire_snapshots(self, table: str, keep: int = 2) -> None:
+        """GC old snapshot data dirs (keeps manifests' history entries)."""
+        m = self._load_manifest(table)
+        if m is None:
+            return
+        live: set[str] = set()
+        for s in m["snapshots"][-keep:]:
+            live.update(s["dirs"])
+        tdir = os.path.join(self.root, table)
+        for name in os.listdir(tdir):
+            if name.startswith("snap-") and name not in live:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
