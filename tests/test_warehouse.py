@@ -1,0 +1,136 @@
+"""Warehouse-layer tests (SURVEY Q1-Q9, §5.3): natural-key upsert
+semantics, enrichment jobs, and the nine analytics views cross-checked
+against a DuckDB oracle on the same rows."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from crawlspark import warehouse
+
+
+def test_natural_key_unique(cat4):
+    jm = cat4.read("job_metadata")
+    n = jm.count()
+    assert n > 0
+    assert jm.select(*warehouse.NATURAL_KEY).distinct().count() == n
+    # id is deterministic over site+natural key → also unique
+    assert jm.select("id").distinct().count() == n
+
+
+def test_merge_keeps_latest_round(spark):
+    rows = [
+        # same natural key, rounds 0 and 2 → round 2 wins
+        ("a", 1, "syd", "data engineer", "acme", "2024-01-01", "full time", 0, None),
+        ("a2", 1, "syd", "data engineer", "acme", "2024-01-01", "full time", 2, None),
+        # different key survives
+        ("b", 1, "mel", "data engineer", "acme", "2024-01-01", "full time", 1, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, crawled_website_id int, location string, role string, "
+        "company string, listed_date string, contract_type string, round int, "
+        "job_idx int",
+    )
+    merged = warehouse.merge_job_metadata(None, df)
+    got = {(r["url"], r["round"]) for r in merged.collect()}
+    assert got == {("a2", 2), ("b", 1)}
+
+
+def test_recrawl_upserts_not_duplicates(cat4):
+    """Rotation repeats seeds across rounds; re-extracted postings must
+    update in place (ON CONFLICT DO UPDATE, utils.py:214)."""
+    jm = cat4.read("job_metadata")
+    dup = (
+        jm.groupBy(*warehouse.NATURAL_KEY).count().filter("count > 1").count()
+    )
+    assert dup == 0
+
+
+def test_enrichment(spark):
+    df = spark.createDataFrame(
+        [
+            ("1", "senior data engineer", None, None),
+            ("2", "react developer", "uncategorized", "junior"),
+            ("3", "ux designer", "data engineer", None),
+        ],
+        "id string, role string, extraction_role string, level string",
+    )
+    out = warehouse.enrich_level(warehouse.enrich_extraction_role(df))
+    got = {r["id"]: (r["extraction_role"], r["level"]) for r in out.collect()}
+    assert got["1"] == ("data engineer", "senior")
+    assert got["2"] == ("frontend engineer", "junior")  # uncategorized → recompute
+    assert got["3"] == ("data engineer", "mid-level")  # non-null kept
+
+
+def test_views_match_duckdb(spark, cat4):
+    jm = warehouse.enrich_extraction_role(cat4.read("job_metadata"))
+    # give some rows salaries + skills so the views have work
+    jm = jm.withColumn(
+        "min_salary",
+        F.when(F.length("id") % 3 == 0, F.lit(None)).otherwise(
+            F.crc32(F.col("id")) % 100_000
+        ).cast("int"),
+    ).withColumn(
+        "max_salary", (F.crc32(F.col("id")) % 150_000).cast("int")
+    ).withColumn(
+        "skills",
+        F.when(
+            F.size("skills") > 0, F.col("skills")
+        ).otherwise(F.array(F.lit("python"), F.lit("sql"))),
+    )
+    warehouse.register_views(spark, jm)
+
+    con = duckdb.connect()
+    pdf = jm.toPandas()
+    pdf["skills"] = pdf["skills"].map(list)
+    con.register("job_metadata_raw", pdf)
+    con.execute("CREATE TABLE job_metadata AS SELECT * FROM job_metadata_raw")
+    con.execute(
+        "CREATE VIEW skills AS SELECT id AS job_id, unnest(skills) AS skill "
+        "FROM job_metadata"
+    )
+
+    def check(view, sql):
+        got = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {view}").collect())
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, view
+
+    for view, role in warehouse.ROLE_SKILL_VIEWS.items():
+        check(
+            view,
+            f"""WITH m AS (SELECT id FROM job_metadata WHERE searched_role = '{role}')
+                SELECT A.id, B.skill FROM m A JOIN skills B ON A.id = B.job_id""",
+        )
+    check(
+        "salary_skills",
+        """WITH m AS (
+             SELECT id, (COALESCE(max_salary,0)+COALESCE(min_salary,0))/2 AS salary
+             FROM job_metadata
+             WHERE min_salary IS NOT NULL AND max_salary IS NOT NULL)
+           SELECT A.id, A.salary, B.skill FROM m A JOIN skills B ON A.id = B.job_id""",
+    )
+    check(
+        "role_and_skills",
+        """SELECT A.id, A.extraction_role, B.skill
+           FROM (SELECT id, extraction_role FROM job_metadata) A
+           JOIN skills B ON A.id = B.job_id""",
+    )
+    # Q5 dashboard aggregations
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT extraction_role, skill, count(*) AS n FROM role_and_skills "
+            "GROUP BY extraction_role, skill"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """SELECT A.extraction_role, B.skill, count(*) AS n
+               FROM job_metadata A JOIN skills B ON A.id = B.job_id
+               GROUP BY A.extraction_role, B.skill"""
+        ).fetchall()
+    )
+    assert got == want
