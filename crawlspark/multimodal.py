@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The decode step itself is STUBBED (no image/audio codecs in this
+environment — ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``), but everything Spark-side is real and tested: the
+schema contract, ``mapInPandas`` batch shape, partitioning, and the
+deterministic fake-decode used by tests and the driver oracle.
+
+Contract: a media table is any DataFrame with
+
+    (media_id long, payload binary, media_type string, meta struct<...>)
+
+``extract_features`` maps it to fixed-width feature rows:
+
+    (media_id, n_bytes, sha256, width, height, feature array<double>)
+
+where for ``fake=True`` width/height and the FEATURE_DIM-dim feature
+vector are pure deterministic functions of the payload bytes (byte
+histograms + sha-derived dims), so the DuckDB oracle can recompute
+n_bytes/sha256 and tests can recompute the rest in numpy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, sha256 string, width int, height int, "
+    "feature array<double>"
+)
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real decode path — requires an image codec (PIL/cv2), which is
+    deliberately not a dependency here."""
+    raise NotImplementedError(
+        "image decoding requires a codec library not present in this "
+        "environment; use fake=True for the deterministic stand-in"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in for decode+feature-extract: 'dimensions'
+    from the sha prefix, 'features' from the byte histogram — pure
+    function of the payload, reproducible anywhere."""
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.zeros(FEATURE_DIM, dtype=np.float64)
+    if arr.size:
+        bins = np.bincount(arr >> 5, minlength=FEATURE_DIM)[:FEATURE_DIM]
+        hist = bins / arr.size
+    return width, height, np.round(hist, 6)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads. Arrow
+    batches stream through the UDF; nothing is collected; output
+    partitioning follows the input (narrow op — no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            if fake:
+                decoded = [fake_decode(p) for p in payloads]
+            else:  # pragma: no cover - requires codec
+                decoded = [(None, None, decode_image(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feature": [list(d[2]) for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def docs_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat the documents table's utf-8 text as an opaque
+    payload — the harness's stand-in media corpus (no image bytes in
+    the test environment)."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.struct(F.col("lang"), F.col("source")).alias("meta"),
+    )
+
+
+def media_features_sql(table: str = "documents") -> str:
+    """DuckDB oracle for the SQL-expressible slice of the feature
+    contract (n_bytes, sha256 of the payload)."""
+    return f"""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM {table}"""

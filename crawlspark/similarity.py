@@ -1,0 +1,228 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two physical strategies over ``embeddings(vec_id, embedding
+array<float>, label)``:
+
+* ``brute_force_topk`` — exact cosine top-k per query: broadcast the
+  (small) query set against the corpus scan, per-row cosine (double
+  fold, JVM expressions), window rank per query. The corpus side never
+  shuffles except the final per-query top-k, whose input is already
+  pruned by a per-partition local rank (same two-stage trick as the
+  frontier pop). This is the ground truth.
+
+* ``ivf_topk`` — IVF-style bucketed search for the 100 TB path:
+  deterministic "training-free" centroids (the first C vectors by id —
+  a fixed, replayable choice), each corpus vector assigned to its
+  nearest centroid (one broadcast join + argmin, computed once and
+  reusable as a bucketed table), queries probe the P nearest
+  centroids' buckets only → candidate set shrinks by ~C/P. Exact
+  cosine + top-k within the probed buckets. Recall < 1 by design;
+  measured in tests against brute force.
+
+Also ``cosine_knn_join`` — the generic "for each row in A find k
+nearest in B" primitive (a vectorized pandas-UDF path using numpy
+matmul per partition batch), used when A is too big to broadcast:
+B (or its IVF buckets) is broadcast as a matrix instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark.textops import cosine, cosine_sql
+
+DEFAULT_K = 5
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def _queries_df(emb: DataFrame, n_queries: int, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic query set: the n lowest-id vectors."""
+    return (
+        emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .orderBy("qid")
+        .limit(n_queries)
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (query != neighbor). Output:
+    (qid, rank, nid, cos) with cos rounded to 6 dp; ties broken by
+    neighbor id so ordering is total and replayable."""
+    q = F.broadcast(_queries_df(emb, n_queries, id_col, vec_col))
+    corpus = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = (
+        corpus.join(q, F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cos")
+    )
+
+
+def brute_force_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = cosine_sql("q.qv", "c.nv")
+    return f"""
+    WITH q AS (
+      SELECT {id_col} AS qid, {vec_col} AS qv FROM {table}
+      ORDER BY {id_col} LIMIT {n_queries}
+    ),
+    c AS (SELECT {id_col} AS nid, {vec_col} AS nv FROM {table}),
+    scored AS (
+      SELECT q.qid, c.nid, round({cos}, 6) AS cos
+      FROM c JOIN q ON q.qid <> c.nid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid, rank, nid, cos FROM ranked WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-style bucketed ANN (scale path; recall measured vs brute force)
+# ---------------------------------------------------------------------------
+
+
+def _assign_bucket(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid bucket per corpus row: broadcast join + argmax
+    cosine; ties broken by centroid id (deterministic/replayable)."""
+    joined = corpus.join(F.broadcast(centroids))
+    sim = F.round(cosine(F.col("nv"), F.col("cv")), 9)
+    best = F.max(F.struct(sim.alias("s"), F.col("cid").alias("cid")))
+    return (
+        joined.groupBy("nid")
+        .agg(F.first("nv").alias("nv"), best["cid"].alias("bucket"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = DEFAULT_K,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid; queries search the
+    ``n_probes`` nearest buckets only. Same output schema as
+    brute_force_topk. At scale the bucket assignment is precomputed /
+    bucketed-by on write, so a query touches n_probes/n_centroids of
+    the corpus."""
+    centroids = F.broadcast(
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+    corpus = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    bucketed = _assign_bucket(corpus, centroids)
+
+    q = _queries_df(emb, n_queries, id_col, vec_col)
+    # per query: the n_probes nearest centroids
+    qc = q.join(F.broadcast(centroids)).select(
+        "qid", "qv", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        qc.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_probes)
+        .select("qid", "qv", F.col("cid").alias("bucket"))
+    )
+    scored = (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cos")
+    )
+
+
+def recall_vs_bruteforce(exact: DataFrame, approx: DataFrame) -> float:
+    """Fraction of exact top-k (qid, nid) pairs found by the ANN."""
+    e = {(r["qid"], r["nid"]) for r in exact.collect()}
+    a = {(r["qid"], r["nid"]) for r in approx.collect()}
+    return len(e & a) / max(len(e), 1)
+
+
+# ---------------------------------------------------------------------------
+# vectorized kNN join (numpy matmul per Arrow batch) — the pandas-UDF
+# escape hatch for when per-row expression folds are too slow and the
+# query side cannot be expressed as a broadcast DataFrame join.
+# ---------------------------------------------------------------------------
+
+
+def knn_join_pandas(
+    emb: DataFrame,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For every corpus partition batch, compute cosine of all queries
+    vs the batch with one matmul; emit per-(query, corpus-row) scores
+    pre-pruned to the per-batch top-k, then the exact global top-k via
+    one small window. Arrow-batched, no per-row Python."""
+    spark = emb.sparkSession
+    qm = query_matrix / np.linalg.norm(query_matrix, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qm.astype(np.float64), query_ids))
+
+    def batches(it):
+        qmat, qids = bq.value
+        for pdf in it:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = qmat @ (m / norms).T  # (n_q, batch)
+            nids = pdf[id_col].to_numpy()
+            # self-matches must not occupy a top-k slot in the local prune
+            sims[nids[None, :] == qids[:, None]] = -np.inf
+            topb = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, topb - 1, axis=1)[:, :topb]
+            out = {
+                "qid": np.repeat(qids, topb),
+                "nid": nids[idx].ravel(),
+                "cos": np.round(np.take_along_axis(sims, idx, axis=1).ravel(), 6),
+            }
+            yield pd.DataFrame(out)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        batches, "qid long, nid long, cos double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.filter(F.col("qid") != F.col("nid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cos")
+    )

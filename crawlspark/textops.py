@@ -1,0 +1,581 @@
+"""Large-scale training-data text operators: deduplication families,
+language ID, quality scoring, token counting, fingerprinting.
+
+These are first-class engine operators beyond the reference's scope
+(the reference dedups only exact URLs, dags/crawler/seek_crawler.py:196)
+— they are what a Common-Crawl-scale corpus pipeline runs after the
+crawl stage. Design rules:
+
+* Everything is native Column expressions (whole-stage codegen) — the
+  only hashes used are ``md5``/``sha2`` so every operator has an
+  exactly-equivalent DuckDB SQL twin (the ``*_sql`` generators below),
+  which is how the driver's correctness gate verifies them.
+* Pairwise operators ship two physical strategies: a brute-force
+  O(n²) self-join (the small-scale oracle) and a banded/LSH bucket
+  join (the 100 TB path: candidates shrink from n² to collisions;
+  shuffles key on the band hash which is uniform by construction, so
+  no skew). For SimHash the banding is *lossless* (pigeonhole: r
+  errors cannot touch all r+1 bands), so the scale path returns
+  byte-identical results to brute force.
+* MinHash banding is probabilistic-recall by nature; its output
+  contract is "band-collision candidates verified by exact Jaccard",
+  which is deterministic given the fixed seeds — the SQL twin
+  reproduces it exactly.
+
+Scale notes: per-doc signature computation is embarrassingly parallel
+(no shuffle); pair generation shuffles on band hashes (uniform);
+verification joins fetch shingle sets by doc_id (hash join on a
+pre-bucketable key). At 10^10 docs the shingle-set verify join is the
+expensive stage — band tuning (B, R) bounds the candidate count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (shared contract with the SQL twins)
+# ---------------------------------------------------------------------------
+
+SHINGLE_N = 3
+MINHASH_K = 16  # permutations
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands x 8 bits → lossless for hamming <= 3
+SIMHASH_MAX_HAMMING = 3
+FINGERPRINT_K = 8  # bottom-k sketch size
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text (deterministic,
+    locale-free — identical in Spark and DuckDB)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def tokens_sql(c: str) -> str:
+    return f"string_split_regex(trim(lower({c})), '\\s+')"
+
+
+def shingles_col(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-grams; a doc shorter than n words is its own
+    single shingle."""
+    whole = F.array(F.concat_ws(" ", toks))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(whole))
+
+
+def shingles_sql(w: str, n: int = SHINGLE_N) -> str:
+    return (
+        f"list_distinct(CASE WHEN len({w}) >= {n} "
+        f"THEN [array_to_string({w}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({w}) - {n} + 2)] "
+        f"ELSE [array_to_string({w}, ' ')] END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy keep-first (C1-style sha over normalized text)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One surviving row per distinct normalized text (min id wins).
+    Scale: a single hash-partitioned groupBy on a 32-hex key — uniform,
+    map-side partial min."""
+    h = F.md5(F.trim(F.lower(F.col(text_col))))
+    return (
+        docs.select(F.col(id_col), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+    SELECT md5(trim(lower({text_col}))) AS text_hash,
+           min({id_col}) AS keep_id,
+           count(*) AS n_copies
+    FROM {table}
+    GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (brute force — the small-scale ground truth)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(tokens_col(F.col(text_col))).alias("sh"),
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (a < b) with shingle-Jaccard ≥ threshold — O(n²)
+    self-join; correctness oracle for the LSH variant. Use only at
+    sample scale; the 100 TB path is minhash_lsh_dup_pairs."""
+    s = _shingle_sets(docs, id_col, text_col)
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            _jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str = "documents",
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH s AS (
+      SELECT {id_col} AS doc_id, {shingles_sql(tokens_sql(text_col))} AS sh
+      FROM {table}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_sig_cols(sh: Column, k: int = MINHASH_K) -> list[Column]:
+    """K permutation min-hashes: min over shingles of md5('p{i}|'+s).
+    Pure per-row expressions — no shuffle, no UDF."""
+    return [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"p{i}|"), s))))
+        for i in range(k)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash: shingle → K min-hashes →
+    B band hashes → bucket self-join → exact-Jaccard verification.
+
+    Physical plan at scale: the band explode multiplies rows by B (a
+    narrow op); the self-join shuffles on (band, band_hash) — uniform
+    md5 keys, no skew; verified pairs join back to shingle sets by
+    doc_id. No O(n²) stage anywhere.
+    """
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    s = _shingle_sets(docs, id_col, text_col)
+    sigs = minhash_sig_cols(F.col("sh"))
+    band_hashes = [
+        F.md5(F.concat_ws("|", *sigs[b * rows_per_band : (b + 1) * rows_per_band]))
+        for b in range(MINHASH_BANDS)
+    ]
+    banded = s.select(
+        "doc_id",
+        "sh",
+        F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents",
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('p{i}|' || s))) AS sig{i}"
+        for i in range(MINHASH_K)
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"sig{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        + f") AS band{b}"
+        for b in range(MINHASH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, band{b} AS band_hash FROM sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH s AS (
+      SELECT {id_col} AS doc_id, {shingles_sql(tokens_sql(text_col))} AS sh
+      FROM {table}
+    ),
+    sig0 AS (SELECT doc_id, sh, {sig_exprs} FROM s),
+    sigs AS (SELECT *, {band_exprs} FROM sig0),
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM cand c
+    JOIN s sa ON sa.doc_id = c.id_a
+    JOIN s sb ON sb.doc_id = c.id_b
+    WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup — banded join is LOSSLESS for hamming ≤ bands-1
+# ---------------------------------------------------------------------------
+
+
+def _token_hash60(tok: Column) -> Column:
+    """60-bit integer from the md5 hex prefix (fits a signed BIGINT;
+    identical to DuckDB's ('0x'||substr(md5(t),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash_col(toks: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over *distinct* tokens: bit i of the result is 1 iff
+    more distinct tokens have bit i set than not. Computed as a pure
+    fold over the token array — per-row, no shuffle."""
+    distinct_toks = F.array_distinct(toks)
+    hashes = F.transform(distinct_toks, _token_hash60)
+    out = F.lit(0).cast("bigint")
+    n = F.size(distinct_toks)
+    for i in range(bits):
+        ones = F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
+        )
+        bit_set = (ones * 2) > n  # majority of tokens have bit i set
+        out = out + F.when(bit_set, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_sql_expr(toks: str, bits: int = SIMHASH_BITS) -> str:
+    h = "('0x' || substr(md5(t), 1, 15))::BIGINT"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(dt, t -> ({h} >> {i}) & 1)) "
+        f"> len(dt) THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"(SELECT {terms} FROM (SELECT list_distinct({toks}) AS dt))"
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    banded: bool = True,
+) -> DataFrame:
+    """All pairs (a < b) with simhash hamming distance ≤ max_hamming.
+
+    ``banded=True`` (default, the scale path) buckets by SIMHASH_BANDS
+    byte-bands; by pigeonhole, any pair within hamming ≤ SIMHASH_BANDS-1
+    collides on at least one band, so for max_hamming ≤ bands-1 the
+    banded join returns EXACTLY the brute-force result — verified in
+    tests. ``banded=False`` is the O(n²) oracle.
+    """
+    assert max_hamming <= SIMHASH_BANDS - 1, "banding lossless only below bands"
+    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
+    s = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_col(tokens_col(F.col(text_col))).alias("sim"),
+    )
+    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    if not banded:
+        a, b = s.alias("a"), s.alias("b")
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    mask = (1 << bits_per_band) - 1
+    banded_df = s.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), b * bits_per_band).bitwiseAND(F.lit(mask))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded_df.alias("a"), banded_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(
+    table: str = "documents",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    sim = simhash_sql_expr(tokens_sql(text_col))
+    return f"""
+    WITH s AS (SELECT {id_col} AS doc_id, {sim} AS sim FROM {table})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim, b.sim)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/marker heuristic), quality score, token count,
+# fingerprint (bottom-k sketch)
+# ---------------------------------------------------------------------------
+
+# tiny marker lexicons; deterministic and identical in the SQL twins
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "for"],
+    "vi": ["va", "la", "cua", "nguoi", "khong", "duoc"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+
+def langid_cols(toks: Column) -> tuple[Column, Column]:
+    """(lang, score): argmax over marker-hit ratios, ties broken by
+    lexicon order en > vi > zh; no hits → 'und'."""
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))) / n
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    lang_expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier lexicons win ties
+        lang_expr = F.when(
+            (scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(lang_expr)
+    return lang_expr, best_score
+
+
+def langid_sql(toks: str) -> tuple[str, str]:
+    n = f"greatest(len({toks}), 1)"
+    scores = {
+        lang: (
+            f"(len(list_filter({toks}, t -> t IN ("
+            + ", ".join(f"'{m}'" for m in markers)
+            + f")))::DOUBLE / {n})"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    expr = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = (
+            f"CASE WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr, best
+
+
+def quality_cols(text: Column, toks: Column) -> dict[str, Column]:
+    """Heuristic quality signals: length, mean word length, stopword
+    ratio, punctuation ratio, uppercase ratio, and a composite
+    'keep' flag (the filter a corpus pipeline applies)."""
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_tok_safe = F.greatest(n_tokens, F.lit(1))
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+        / n_tok_safe
+    )
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok_safe
+    punct_ratio = (
+        F.length(F.regexp_replace(text, r"[^.,;:!?]", "")) / F.greatest(n_chars, F.lit(1))
+    )
+    keep = (
+        (n_tokens >= 5)
+        & (mean_word_len >= 2)
+        & (mean_word_len <= 12)
+        & (punct_ratio <= 0.2)
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "mean_word_len": F.round(mean_word_len, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "keep": keep,
+    }
+
+
+def quality_sql(text: str, toks: str) -> dict[str, str]:
+    n_chars = f"length({text})"
+    n_tokens = f"len({toks})"
+    n_safe = f"greatest({n_tokens}, 1)"
+    mean_word_len = f"(list_sum(list_transform({toks}, t -> length(t)))::DOUBLE / {n_safe})"
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_ratio = f"(len(list_filter({toks}, t -> t IN ({stops})))::DOUBLE / {n_safe})"
+    punct_ratio = (
+        f"(length(regexp_replace({text}, '[^.,;:!?]', '', 'g'))::DOUBLE"
+        f" / greatest({n_chars}, 1))"
+    )
+    keep = (
+        f"({n_tokens} >= 5 AND {mean_word_len} >= 2 AND {mean_word_len} <= 12 "
+        f"AND {punct_ratio} <= 0.2)"
+    )
+    return {
+        "n_chars": f"{n_chars}::BIGINT",
+        "n_tokens": f"{n_tokens}::BIGINT",
+        "mean_word_len": f"round({mean_word_len}, 4)",
+        "stopword_ratio": f"round({stop_ratio}, 4)",
+        "punct_ratio": f"round({punct_ratio}, 4)",
+        "keep": keep,
+    }
+
+
+def fingerprint_col(sh: Column, k: int = FINGERPRINT_K) -> Column:
+    """Bottom-k document fingerprint: the k smallest md5 hashes of the
+    shingle set, joined — a compact sketch whose equality ⇒ high
+    overlap (winnowing-style selection, deterministic)."""
+    hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    return F.concat_ws("", F.slice(hashed, 1, k))
+
+
+def fingerprint_sql(sh: str, k: int = FINGERPRINT_K) -> str:
+    return (
+        f"array_to_string(list_sort(list_transform({sh}, s -> md5(s)))[1:{k}], '')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup + clustering-free representative pick
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, computed
+    in double with a deterministic left fold (same order as DuckDB's
+    sequential list ops)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))))"
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold (brute
+    force; the ANN module provides the bucketed scale path)."""
+    s = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_dup_pairs_sql(
+    table: str = "embeddings",
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = cosine_sql("a.v", "b.v")
+    return f"""
+    WITH s AS (SELECT {id_col} AS vid, {vec_col} AS v FROM {table})
+    SELECT a.vid AS id_a, b.vid AS id_b, round({cos}, 6) AS cos
+    FROM s a JOIN s b ON a.vid < b.vid
+    WHERE round({cos}, 6) >= {threshold}"""

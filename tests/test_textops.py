@@ -1,0 +1,246 @@
+"""Training-data text operators vs their DuckDB SQL twins and
+structural properties (dedup families, langid, quality, fingerprint).
+
+Runs on the driver's documents table at sf0.001 plus a synthetic
+dup-bearing corpus that plants exact dups, near-dups and unrelated
+docs so every operator has positive AND negative cases."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import textops as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def synth_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, base + " extra tail words here"),  # near dup
+        (5, "completely different content about spark partitions and shuffles"),
+        (6, "short doc"),
+        (7, ""),  # degenerate
+        (8, "The  Quick   Brown fox JUMPS over the lazy dog again and again today"),  # ws/case variant
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _duck(df_pairs):
+    con = duckdb.connect()
+    for name, pdf in df_pairs:
+        con.register(f"{name}_raw", pdf)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM {name}_raw")
+    return con
+
+
+def _cmp(spark_df, con, sql, sort_cols):
+    got = sorted(
+        tuple(r) for r in spark_df.select(*sort_cols).collect()
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_synth(spark, synth_docs):
+    out = {r["keep_id"]: r["n_copies"] for r in T.exact_dedup(synth_docs).collect()}
+    assert out[1] == 2  # docs 1 and 2 collapse
+    assert 2 not in out
+    # doc 8 differs only by internal whitespace → NOT an exact dup
+    # (trim+lower normalization only); the n-gram/jaccard family
+    # catches it because tokenization splits on \s+
+    assert out[8] == 1
+    assert out[3] == 1
+
+
+def test_exact_dedup_vs_duckdb(spark, docs):
+    con = _duck([("documents", docs.toPandas())])
+    _cmp(
+        T.exact_dedup(docs),
+        con,
+        T.exact_dedup_sql() + " ORDER BY 1",
+        ["text_hash", "keep_id", "n_copies"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (brute force) + MinHash LSH
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_pairs_synth(spark, synth_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in T.ngram_jaccard_pairs(synth_docs, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 8) in pairs and pairs[(1, 8)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_jaccard_pairs_vs_duckdb(spark, docs):
+    con = _duck([("documents", docs.toPandas())])
+    _cmp(
+        T.ngram_jaccard_pairs(docs, threshold=0.5),
+        con,
+        T.ngram_jaccard_pairs_sql(threshold=0.5),
+        ["id_a", "id_b", "jaccard"],
+    )
+
+
+def test_minhash_lsh_vs_duckdb(spark, docs):
+    con = _duck([("documents", docs.toPandas())])
+    _cmp(
+        T.minhash_lsh_pairs(docs, threshold=0.5),
+        con,
+        T.minhash_lsh_pairs_sql(threshold=0.5),
+        ["id_a", "id_b", "jaccard"],
+    )
+
+
+def test_minhash_recall_on_planted_dups(spark, docs):
+    """The sf documents table plants near-dup pairs at j≈0.99 — banded
+    MinHash at 4x4 has collision prob ≈ 1-(1-j^4)^4 ≈ 1.0 there; all
+    high-sim pairs must be found."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in T.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in T.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact == lsh
+
+
+# ---------------------------------------------------------------------------
+# SimHash: banded bucket join must equal brute force (pigeonhole)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_banded_equals_bruteforce(spark, docs, synth_docs):
+    for d in (synth_docs, docs):
+        brute = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in T.simhash_pairs(d, banded=False).collect()
+        }
+        band = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in T.simhash_pairs(d, banded=True).collect()
+        }
+        assert brute == band
+
+
+def test_simhash_vs_duckdb(spark, synth_docs):
+    con = _duck([("documents", synth_docs.toPandas())])
+    _cmp(
+        T.simhash_pairs(synth_docs, banded=True),
+        con,
+        T.simhash_pairs_sql(),
+        ["id_a", "id_b", "hamming"],
+    )
+
+
+def test_simhash_finds_near_dups(spark, synth_docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in T.simhash_pairs(synth_docs).collect()}
+    assert (1, 2) in pairs and (1, 8) in pairs
+
+
+# ---------------------------------------------------------------------------
+# langid / quality / fingerprint
+# ---------------------------------------------------------------------------
+
+
+def test_langid_and_quality_vs_duckdb(spark, docs):
+    toks = T.tokens_col(F.col("text"))
+    lang, score = T.langid_cols(toks)
+    q = T.quality_cols(F.col("text"), toks)
+    out = docs.select(
+        "doc_id", lang.alias("lang_pred"), F.round(score, 4).alias("lang_score"),
+        *[c.alias(name) for name, c in q.items()],
+    )
+    con = _duck([("documents", docs.toPandas())])
+    toks_s = T.tokens_sql("text")
+    lang_s, score_s = T.langid_sql(toks_s)
+    q_s = T.quality_sql("text", toks_s)
+    sql = (
+        f"SELECT doc_id, {lang_s} AS lang_pred, round({score_s}, 4) AS lang_score, "
+        + ", ".join(f"{expr} AS {name}" for name, expr in q_s.items())
+        + " FROM documents"
+    )
+    cols = ["doc_id", "lang_pred", "lang_score", *q_s]
+    _cmp(out, con, sql, cols)
+
+
+def test_langid_markers():
+    from crawlspark.session import get_spark
+
+    spark = get_spark("t")
+    rows = [
+        (1, "the cat and the dog of the town is here for a while"),
+        (2, "nguoi va la cua khong duoc nguoi va"),
+        (3, "xyz qqq zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lang, _ = T.langid_cols(T.tokens_col(F.col("text")))
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", lang.alias("l")).collect()}
+    assert got == {1: "en", 2: "vi", 3: "und"}
+
+
+def test_fingerprint_vs_duckdb(spark, docs):
+    sh = T.shingles_col(T.tokens_col(F.col("text")))
+    out = docs.select("doc_id", T.fingerprint_col(sh).alias("fp"))
+    con = _duck([("documents", docs.toPandas())])
+    sql = (
+        f"SELECT doc_id, {T.fingerprint_sql(T.shingles_sql(T.tokens_sql('text')))} AS fp "
+        "FROM documents"
+    )
+    _cmp(out, con, sql, ["doc_id", "fp"])
+
+
+def test_fingerprint_equal_for_exact_dups(spark, synth_docs):
+    sh = T.shingles_col(T.tokens_col(F.col("text")))
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in synth_docs.select("doc_id", T.fingerprint_col(sh).alias("fp")).collect()
+    }
+    assert fp[1] == fp[2] == fp[8]
+    assert fp[1] != fp[5]
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine dup pairs
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_dups_vs_duckdb(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    _cmp(
+        T.embedding_dup_pairs(emb, threshold=0.95),
+        con,
+        T.embedding_dup_pairs_sql(threshold=0.95),
+        ["id_a", "id_b", "cos"],
+    )
