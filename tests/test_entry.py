@@ -1,0 +1,78 @@
+"""Driver-contract conformance: runs every ``queries()`` entry at
+sf0.01 and compares row count, column names and sorted row values
+against the matching ``oracle_sql()`` in DuckDB — the same comparison
+the driver's correctness gate performs."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9) if not math.isnan(v) else "nan"
+    return v
+
+
+ORACLE = E.oracle_sql()
+ROWS_ONLY = sorted(set(E.queries()) - set(ORACLE))
+WITH_ORACLE = sorted(ORACLE)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, duck01, name):
+    df = E.queries()[name](spark, SF_DIR)
+    cols = sorted(df.columns)
+    got = sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=repr
+    )
+    res = duck01.execute(ORACLE[name])
+    oracle_cols = [d[0] for d in res.description]
+    assert sorted(oracle_cols) == cols, f"{name}: column names differ"
+    idx = [oracle_cols.index(c) for c in cols]
+    want = sorted(
+        (tuple(_norm(row[i]) for i in idx) for row in res.fetchall()), key=repr
+    )
+    assert len(got) == len(want), f"{name}: row counts differ"
+    assert got == want, f"{name}: values differ"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = E.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() >= 0
+    assert [f.name for f in df.schema.fields] == ["id_a", "id_b", "jaccard"]
+
+
+def test_every_query_listed_in_survey_contract():
+    """Every oracle key must have a query and vice versa (minus the
+    documented rows-only ops)."""
+    qs, os_ = set(E.queries()), set(E.oracle_sql())
+    assert os_ <= qs
+    assert qs - os_ == {"crawl_replay", "ann_topk_ivf"}
