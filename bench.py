@@ -1,0 +1,121 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the crawl detail-pipeline throughput
+(the north metric, URLs/s) on the materialized "small" fixture.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"urls": N, "sec": t, "urls_per_s": r}, "cpus": N}
+
+Brute-force O(n²) pair queries are excluded from the headline set at
+bench scale (their LSH/banded scale-path variants ARE included); they
+remain in the sf0.01 correctness gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+HEADLINE = [
+    "url_canonicalize",
+    "frontier_dedup",
+    "frontier_pop",
+    "politeness_capacity",
+    "robots_gate",
+    "listed_date_convert",
+    "role_enrichment",
+    "salary_validation",
+    "upsert_latest",
+    "topk_per_group",
+    "props_extract",
+    "agg_pricing_summary",
+    "join_orders_customer",
+    "salary_projection",
+    "postings_per_day",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "text_quality_langid",
+    "doc_fingerprint",
+    "media_features",
+]
+
+
+def _force(df) -> int:
+    """Force full computation of every column (count() alone lets
+    Catalyst prune projections/UDFs)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entry
+    from crawlspark.fixtures import robots_rows
+    from crawlspark.pipeline_bench import (
+        measure_throughput,
+        write_small_pages_parquet,
+    )
+    from crawlspark.session import get_spark
+
+    spark = get_spark("crawlspark-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # crawl-pipeline throughput (north metric) on materialized parquet
+    pages_path = os.path.join(
+        tempfile.gettempdir(), "crawlspark_bench_pages_small.parquet"
+    )
+    if not os.path.exists(pages_path):
+        write_small_pages_parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    robots_df = spark.createDataFrame(
+        [
+            (r["host"], [(bool(x["allow"]), x["path_prefix"]) for x in r["rules"]])
+            for r in robots_rows(42, "small")
+        ],
+        "host string, rules array<struct<allow:boolean,path_prefix:string>>",
+    )
+    n_urls, crawl_sec = measure_throughput(spark, pages, robots_df)
+
+    total = round(sum(timings.values()) + crawl_sec, 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite + crawl detail-pipeline wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "crawl": {
+                    "urls": n_urls,
+                    "sec": round(crawl_sec, 3),
+                    "urls_per_s": round(n_urls / crawl_sec, 1),
+                },
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""N-vs-4N scaling-efficiency evidence (BASELINE.md protocol).
+
+No real cluster exists in this sandbox, so per the driver protocol the
+same job runs at two parallelism levels — ``local[8]`` and
+``local[32]`` — on the same materialized parquet input, and
+
+    eff = urls_per_s(32) / (4 × urls_per_s(8))
+
+is reported. The measured job is the crawl detail pipeline
+(crawlspark.pipeline_bench.run_detail_pipeline): canonicalize UDF →
+bloom+exact seen dedup → robots gate → salted politeness pop → fetch
+join → extraction UDF.
+
+Each level runs in its OWN subprocess/JVM (a SparkContext's core count
+cannot be changed in-process); each does one warm-up pass then
+``--reps`` timed passes and reports the best (JIT + shuffle-service
+warmup excluded, same treatment both levels).
+
+Usage:  python jobs/scaling_bench.py [--mult 12] [--reps 2]
+Writes: BENCH/BASELINE.md (+ prints a JSON summary line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(cpus: int, pages_path: str, reps: int) -> None:
+    sys.path.insert(0, REPO)
+    from crawlspark.fixtures import robots_rows
+    from crawlspark.pipeline_bench import measure_throughput
+    from crawlspark.session import get_spark
+
+    spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(pages_path)
+    robots_df = spark.createDataFrame(
+        [
+            (r["host"], [(bool(x["allow"]), x["path_prefix"]) for x in r["rules"]])
+            for r in robots_rows(42, "small")
+        ],
+        "host string, rules array<struct<allow:boolean,path_prefix:string>>",
+    )
+    # warm-up (JIT, codegen, python workers), then timed reps
+    measure_throughput(spark, pages.limit(2000), robots_df)
+    best = None
+    for _ in range(reps):
+        n, sec = measure_throughput(spark, pages, robots_df)
+        if best is None or sec < best[1]:
+            best = (n, sec)
+    print(json.dumps({"cpus": cpus, "urls": best[0], "sec": best[1]}))
+
+
+def expand_pages(pages_path: str, mult: int, out_path: str) -> None:
+    """Corpus expansion Spark-side: each page replicated ``mult`` times
+    with a distinct URL (?rep=i) so dedup/pop see distinct keys while
+    parse cost scales linearly."""
+    from crawlspark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("expand", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(pages_path)
+    big = (
+        pages.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep"), "*"
+        )
+        .withColumn(
+            "url",
+            F.when(F.col("rep") == 0, F.col("url")).otherwise(
+                F.concat(
+                    F.col("url"),
+                    F.when(F.col("url").contains("?"), F.lit("&rep=")).otherwise(F.lit("?rep=")),
+                    F.col("rep"),
+                )
+            ),
+        )
+        .drop("rep")
+    )
+    big.repartition(64).write.mode("overwrite").parquet(out_path)
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=12)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--child-cpus", type=int, default=None)
+    ap.add_argument("--pages", default=None)
+    args = ap.parse_args()
+
+    if args.child_cpus:
+        child(args.child_cpus, args.pages, args.reps)
+        return
+
+    tmp = tempfile.gettempdir()
+    small = os.path.join(tmp, "crawlspark_bench_pages_small.parquet")
+    big = os.path.join(tmp, f"crawlspark_bench_pages_x{args.mult}.parquet")
+    if not os.path.exists(small):
+        from crawlspark.pipeline_bench import write_small_pages_parquet
+
+        sys.path.insert(0, REPO)
+        write_small_pages_parquet(small)
+    if not os.path.exists(big):
+        expand_pages(small, args.mult, big)
+
+    results = {}
+    for cpus in (8, 32):
+        t0 = time.time()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child-cpus", str(cpus),
+             "--pages", big, "--reps", str(args.reps)],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        results[cpus]["wall_total"] = round(time.time() - t0, 1)
+
+    r8, r32 = results[8], results[32]
+    rate8 = r8["urls"] / r8["sec"]
+    rate32 = r32["urls"] / r32["sec"]
+    eff = rate32 / (4 * rate8)
+    summary = {
+        "urls": r8["urls"],
+        "local8": {"sec": round(r8["sec"], 2), "urls_per_s": round(rate8, 1)},
+        "local32": {"sec": round(r32["sec"], 2), "urls_per_s": round(rate32, 1)},
+        "scaling_efficiency": round(eff, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH — crawl-pipeline throughput + scaling efficiency
+
+Job: crawl detail pipeline (canonicalize Arrow UDF → bloom+exact seen
+dedup → robots gate → salted per-host politeness pop → fetch join →
+byte-identical extraction UDF), `crawlspark/pipeline_bench.py`.
+
+Input: materialized parquet of the deterministic "small" fixture
+expanded ×{args.mult} ({r8["urls"]:,} URLs extracted per pass; identical
+bytes for both runs). Per the sandbox protocol (no real cluster), N vs
+4N executors is evidenced as local[8] vs local[32] on the same input,
+one JVM per level, warm-up pass excluded, best of {args.reps} timed reps.
+
+| parallelism | wall (s) | URLs/s |
+|---|---|---|
+| local[8]  (N)  | {r8["sec"]:.2f} | {rate8:,.1f} |
+| local[32] (4N) | {r32["sec"]:.2f} | {rate32:,.1f} |
+
+**Scaling efficiency eff = rate(4N) / (4 × rate(N)) = {eff:.3f}**
+(target ≥ 0.8, BASELINE.json `metric`).
+
+Reference baseline for context: the production reference sustains
+≈0.0013 URLs/s end-to-end (>10k postings over ~3 months,
+/root/reference/README.md:7) — politeness-bound by design; this
+engine's politeness is enforced relationally per round, so machinery
+throughput is the comparable number.
+""")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
