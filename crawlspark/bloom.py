@@ -146,7 +146,16 @@ def dedup_against_seen(
     seen_keys = seen.select(url_col)
     if bloom is None:
         return candidates.join(seen_keys, url_col, "left_anti")
-    probed = bloom_probe(candidates, bloom, n_shards, url_col)
+    # branch-point persist: probed feeds BOTH the fresh and the
+    # suspects branch — without it the whole upstream (scan +
+    # canonicalize UDF + cogroup probe) recomputes once per branch.
+    # Candidate rows are narrow key columns (no page bytes), so this
+    # is the frontier working set, disk-backed at scale.
+    from pyspark import StorageLevel
+
+    probed = bloom_probe(candidates, bloom, n_shards, url_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = suspects.join(seen_keys, url_col, "left_anti")

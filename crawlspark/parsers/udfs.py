@@ -87,6 +87,17 @@ def _parse_one(site: str, url: str, html) -> dict:
         location = job_info.get("location", "")
         contract_type = job_info.get("contract_type", "")
         listed_date = job_info.get("listed_date", "")
+    elif site == "generic":
+        # engine extension beyond the reference's site parsers: generic
+        # Common-Crawl pages get whole-document text extraction with
+        # the same get_text('\n', strip=True) semantics the site
+        # parsers use — every fetched page is parsed, none passed
+        # through raw.
+        from crawlspark.parsers.htmltext import parse_html
+
+        job_info = {}
+        job_description = parse_html(html).get_text(separator="\n", strip=True)
+        role = company = location = contract_type = listed_date = ""
     else:
         return empty
     job_info_json = json.dumps(job_info)

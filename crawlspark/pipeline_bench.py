@@ -63,8 +63,18 @@ def run_detail_pipeline(
     popped = pop_per_host(
         allowed, budget_df, salt_shards=salt_shards, default_remaining=budget
     ).filter(F.col("popped"))
+    # fetch join: SHUFFLE_HASH on the popped side — the html-carrying
+    # scan streams through unsorted (SMJ would sort the page bytes;
+    # sorting TBs is never the right plan). On a cluster the scheduler
+    # broadcasts the politeness-bounded popped set under its threshold
+    # so the 100 TB side doesn't move at all; here the popped set is
+    # (unrealistically) ~85% of the corpus, and a driver-built
+    # broadcast of millions of rows is single-threaded — the shuffle's
+    # compression/serialization work spreads across cores instead.
     fetched = pages.join(
-        popped.select("url", "url_canon", "host"), "url", "inner"
+        popped.select("url", "url_canon", "host").hint("SHUFFLE_HASH"),
+        "url",
+        "inner",
     )
     routed = fetched.withColumn(
         "site",
@@ -72,12 +82,14 @@ def run_detail_pipeline(
         .when(F.col("url").contains("au.jora.com/job/"), F.lit("jora"))
         .otherwise(F.lit("generic")),
     )
+    # EVERY fetched page is parsed (seek/jora byte-identical parsers;
+    # generic pages whole-document get_text) — extraction is the CPU
+    # payload of the pipeline, Arrow-batched.
     extracted = routed.withColumn(
         "out_text",
-        F.when(
-            F.col("site").isin("seek", "jora"),
-            parse_detail_udf(F.col("site"), F.col("url"), F.col("html"))["combination_text"],
-        ).otherwise(F.col("text")),
+        parse_detail_udf(F.col("site"), F.col("url"), F.col("html"))[
+            "combination_text"
+        ],
     )
     return extracted.filter(F.length("out_text") >= 0).count()
 

@@ -97,20 +97,49 @@ def pop_per_host(
 
     ``budget``: (host, remaining). Hosts absent from ``budget`` get
     ``default_remaining``. Returns candidates + ``popped`` boolean.
-    Two-stage rank to defuse hot-host skew: stage 1 ranks within
-    (host, salt) — parallel across shards — and discards rows that
-    cannot possibly be popped; stage 2 ranks exactly within host on
-    the pruned set.
+
+    Skew design (10^10 frontier, Zipf hosts):
+    1. **Uncontended fast path** — a per-host count (map-side-combined
+       agg: skew-immune) decides which hosts have pending ≤ remaining.
+       Their rows ALL pop — no window, no sort. This is the common
+       case and costs one agg + one small semi-join.
+    2. **Contended hosts only** go through the two-stage rank: stage 1
+       ranks within (host, salt) — parallel across shards — and
+       discards rows that cannot be in the host's top-``remaining``;
+       stage 2 ranks exactly on the pruned set, whose size is bounded
+       by remaining × salt_shards per host regardless of how hot the
+       host is.
     """
     order_cols = order_cols or DISCOVERY_KEY
     order = [F.col(c) for c in order_cols]
     bud = F.broadcast(budget)
-    cand = candidates.join(bud, "host", "left").withColumn(
-        "remaining", F.coalesce("remaining", F.lit(default_remaining))
+    from pyspark import StorageLevel
+
+    # branch-point persist: cand feeds the count agg, the easy path
+    # and the contended path — narrow key columns only.
+    cand = (
+        candidates.join(bud, "host", "left")
+        .withColumn("remaining", F.coalesce("remaining", F.lit(default_remaining)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # hosts whose pending count exceeds their budget (small set: the
+    # politeness-throttled hot hosts)
+    contended_hosts = F.broadcast(
+        cand.groupBy("host")
+        .agg(F.count("*").alias("_cnt"), F.first("remaining").alias("_rem"))
+        .filter(F.col("_cnt") > F.col("_rem"))
+        .select("host")
+    )
+    easy = (
+        cand.join(contended_hosts, "host", "left_anti")
+        .withColumn("popped", F.lit(True))
+        .drop("remaining")
+    )
+    hard = cand.join(contended_hosts, "host", "left_semi")
+
     salt = F.pmod(F.xxhash64(*order), F.lit(salt_shards))
     w_local = Window.partitionBy(F.col("host"), salt).orderBy(*order)
-    staged = cand.withColumn("_lrank", F.row_number().over(w_local))
+    staged = hard.withColumn("_lrank", F.row_number().over(w_local))
     # rows beyond the local top-`remaining` of their shard cannot be in
     # the host's global top-`remaining` — they stay pending, no window.
     not_poppable = (
@@ -125,4 +154,4 @@ def pop_per_host(
         .withColumn("popped", F.col("_rank") <= F.col("remaining"))
         .drop("_lrank", "_rank", "remaining")
     )
-    return popped.unionByName(not_poppable)
+    return easy.unionByName(popped).unionByName(not_poppable)

@@ -278,7 +278,9 @@ class CrawlEngine:
         if n_popped <= 500_000:
             hit = pages.join(F.broadcast(to_fetch), "url", "inner")
         else:
-            hit = pages.join(to_fetch, "url", "inner")
+            # SHUFFLE_HASH on the popped side: the html-carrying scan
+            # streams through the join unsorted (SMJ would sort TBs)
+            hit = pages.join(to_fetch.hint("SHUFFLE_HASH"), "url", "inner")
         hit = hit.cache()
         parsed = hit.withColumn(
             "_p", parse_detail_udf(F.col("site"), F.col("url"), F.col("html"))

@@ -42,8 +42,8 @@ SHINGLE_N = 3
 MINHASH_K = 16  # permutations
 MINHASH_BANDS = 4  # 4 bands x 4 rows
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # 4 bands x 8 bits → lossless for hamming <= 3
+SIMHASH_BITS = 60  # fits a signed BIGINT (md5-hex prefix, both engines)
+SIMHASH_BANDS = 4  # 4 bands x 15 bits → lossless for hamming <= 3
 SIMHASH_MAX_HAMMING = 3
 FINGERPRINT_K = 8  # bottom-k sketch size
 
@@ -284,23 +284,36 @@ def _token_hash60(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
 
 
-def simhash_col(toks: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over *distinct* tokens: bit i of the result is 1 iff
-    more distinct tokens have bit i set than not. Computed as a pure
-    fold over the token array — per-row, no shuffle."""
-    distinct_toks = F.array_distinct(toks)
-    hashes = F.transform(distinct_toks, _token_hash60)
+def simhash_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_id, sim): SimHash over *distinct* tokens — bit i of the
+    result is 1 iff more distinct tokens have bit i set than not.
+
+    Two-step projection so the md5→int token hashes are computed ONCE
+    per row and the 32 bit-folds run over the materialized bigint
+    array (pure integer ops, per-row, no shuffle). Inlining the hash
+    into each fold would recompute md5 32× per token."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.array_distinct(tokens_col(F.col(text_col))), _token_hash60
+        ).alias("hs"),
+    )
+    n = F.size("hs")
     out = F.lit(0).cast("bigint")
-    n = F.size(distinct_toks)
     for i in range(bits):
         ones = F.aggregate(
-            hashes,
+            F.col("hs"),
             F.lit(0).cast("bigint"),
             lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
         )
         bit_set = (ones * 2) > n  # majority of tokens have bit i set
         out = out + F.when(bit_set, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
-    return out
+    return hashed.select("doc_id", out.alias("sim"))
 
 
 def simhash_sql_expr(toks: str, bits: int = SIMHASH_BITS) -> str:
@@ -330,10 +343,7 @@ def simhash_pairs(
     """
     assert max_hamming <= SIMHASH_BANDS - 1, "banding lossless only below bands"
     bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
-    s = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash_col(tokens_col(F.col(text_col))).alias("sim"),
-    )
+    s = simhash_df(docs, id_col, text_col)
     ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
     if not banded:
         a, b = s.alias("a"), s.alias("b")
