@@ -31,6 +31,11 @@ HEADLINE = [
     "salary_validation",
     "upsert_latest",
     "topk_per_group",
+    "windowed_events",
+    "rollup_revenue",
+    "sessionize",
+    "lag_delta",
+    "distinct_agg",
     "props_extract",
     "agg_pricing_summary",
     "join_orders_customer",
