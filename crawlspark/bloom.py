@@ -64,11 +64,16 @@ def shard_col(url_canon, n_shards: int):
 def build_bloom(
     seen: DataFrame,
     n_shards: int = 32,
-    bits_per_key: int = 12,
+    bits_per_key: int = 24,
     n_hashes: int = 6,
     min_bits: int = 8 * 1024,
 ) -> DataFrame:
-    """seen(url_canon) → one bloom row per shard."""
+    """seen(url_canon) → one bloom row per shard.
+
+    Sized at 24 bits/key — 2× headroom over the 12-bits/key overload
+    threshold the scheduler rebuilds at, so incremental ``update_bloom``
+    appends absorb a doubling of the seen set between rebuilds
+    (fp ≈0.3% at threshold, far lower when fresh)."""
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         urls = pdf["url_canon"]
@@ -84,13 +89,77 @@ def build_bloom(
                 "bitmap": [bits.tobytes()],
                 "n_bits": [m],
                 "n_hashes": [n_hashes],
+                "n_keys": [len(urls)],
             }
         )
 
     sharded = seen.select(
         "url_canon", shard_col(F.col("url_canon"), n_shards).alias("shard")
     )
-    return sharded.groupBy("shard").applyInPandas(_build, BLOOM_SCHEMA)
+    return sharded.groupBy("shard").applyInPandas(
+        _build, BLOOM_SCHEMA + ", n_keys long"
+    )
+
+
+def update_bloom(
+    bloom: DataFrame,
+    delta: DataFrame,
+    n_shards: int = 32,
+    bits_per_key: int = 12,
+    n_hashes: int = 6,
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """Incremental maintenance: OR the delta's bit positions into the
+    existing shard bitmaps (cogroup per shard — O(delta) work, never
+    O(seen); SURVEY §7.5). A shard with no delta passes through
+    unchanged; a delta shard with no bitmap yet gets a fresh one.
+
+    The bitmap size m is fixed at shard creation, so the fp rate
+    degrades as keys accumulate; ``n_keys`` tracks the load so callers
+    rebuild a shard (build_bloom on the full seen set) once
+    ``n_keys * bits_per_key > n_bits`` — a pure perf knob: correctness
+    is untouched either way because the exact anti-join backstops
+    every positive (dedup_against_seen)."""
+
+    def _merge(key, bloom_pdf: pd.DataFrame, delta_pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        if bloom_pdf.empty:
+            m = max(8 * 1024, bits_per_key * max(len(delta_pdf), 1024))
+            bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+            k, n_keys = n_hashes, 0
+        else:
+            bits = np.frombuffer(
+                bloom_pdf["bitmap"].iloc[0], dtype=np.uint8
+            ).copy()
+            m = int(bloom_pdf["n_bits"].iloc[0])
+            k = int(bloom_pdf["n_hashes"].iloc[0])
+            n_keys = int(bloom_pdf["n_keys"].iloc[0]) if "n_keys" in bloom_pdf else 0
+        if len(delta_pdf):
+            h1, h2 = _hash64_pair(delta_pdf[url_col])
+            pos = _positions(h1, h2, k, m).ravel()
+            np.bitwise_or.at(
+                bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8)
+            )
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "bitmap": [bits.tobytes()],
+                "n_bits": [m],
+                "n_hashes": [k],
+                "n_keys": [n_keys + len(delta_pdf)],
+            }
+        )
+
+    delta_sharded = delta.select(
+        url_col, shard_col(F.col(url_col), n_shards).alias("shard")
+    )
+    if "n_keys" not in bloom.columns:
+        bloom = bloom.withColumn("n_keys", F.lit(0).cast("long"))
+    return (
+        bloom.groupBy("shard")
+        .cogroup(delta_sharded.groupBy("shard"))
+        .applyInPandas(_merge, BLOOM_SCHEMA + ", n_keys long")
+    )
 
 
 def bloom_probe(

@@ -411,6 +411,31 @@ def gen_pages_rows(seed: int = 42, scale: str = "tiny") -> Iterator[dict]:
         if row:
             yield row
 
+    # robots.txt bodies rendered from the same rule set robots_rows()
+    # declares — so crawlspark.robots.robots_cache_df derived from the
+    # pages table is decision-equivalent to the fixture cache
+    # (round-trip tested in tests/test_robots.py). These URLs are never
+    # linked by any chain, so the frontier/replay contract is untouched.
+    for r in robots_rows(seed, scale):
+        lines = [
+            "# synthetic robots fixture",
+            "User-agent: archiver-bot",
+            "Disallow: /",
+            "",
+            "User-agent: *",
+        ]
+        for rule in r["rules"]:
+            verb = "Allow" if rule["allow"] else "Disallow"
+            lines.append(f"{verb}: {rule['path_prefix']}")
+        if r.get("crawl_delay"):
+            lines.append(f"Crawl-delay: {r['crawl_delay']}")
+        body = "\n".join(lines) + "\n"
+        row = emit(
+            f"https://{r['host']}/robots.txt", body.encode(), body, "en"
+        )
+        if row:
+            yield row
+
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 

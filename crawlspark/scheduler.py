@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawlspark import warehouse
-from crawlspark.bloom import build_bloom, dedup_against_seen
+from crawlspark.bloom import build_bloom, dedup_against_seen, update_bloom
 from crawlspark.parsers.careerone import page_count
 from crawlspark.parsers.jora import extract_jora_links
 from crawlspark.parsers.seek import extract_seek_links
@@ -378,11 +378,32 @@ class CrawlEngine:
             counters=counters,
         )
         if self.use_bloom:
-            self.catalog.write(
-                "seen_bloom",
-                build_bloom(seen_new, n_shards=self.bloom_shards),
-                round_no=rnd,
+            delta_keys = parsed.select("url_canon")
+            prior = (
+                self.catalog.read_as_of_round("seen_bloom", rnd - 1)
+                if self.catalog.exists("seen_bloom")
+                else None
             )
+            if prior is None:
+                new_bloom = build_bloom(seen_new, n_shards=self.bloom_shards)
+            else:
+                # O(delta) incremental OR-in; full rebuild only when the
+                # load factor exceeds the sizing (fp-rate knob — the
+                # exact anti-join keeps correctness either way)
+                stats = prior.agg(
+                    F.sum(F.coalesce(F.col("n_keys"), F.lit(0))).alias("k"),
+                    F.sum("n_bits").alias("b"),
+                ).collect()[0] if "n_keys" in prior.columns else None
+                overloaded = (
+                    stats is None
+                    or (int(stats["k"] or 0) + n_fetched) * 12 > int(stats["b"])
+                )
+                new_bloom = (
+                    build_bloom(seen_new, n_shards=self.bloom_shards)
+                    if overloaded
+                    else update_bloom(prior, delta_keys, self.bloom_shards)
+                )
+            self.catalog.write("seen_bloom", new_bloom, round_no=rnd)
         self.catalog.write(
             "frontier",
             pending.select(*FRONTIER_SCHEMA_COLS).unionByName(

@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--round-seconds", type=float, default=600.0)
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument(
+        "--robots-from-pages",
+        action="store_true",
+        help="derive the robots cache from the corpus's robots.txt "
+        "pages instead of the fixture rule table",
+    )
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -60,6 +66,12 @@ def main() -> None:
         if args.pages
         else pages_df(spark, args.seed, args.scale)
     )
+    if args.robots_from_pages:
+        from crawlspark.robots import robots_rows_from_pages
+
+        robots = robots_rows_from_pages(pages)
+    else:
+        robots = robots_rows(args.seed, args.scale)
     cat = SnapshotCatalog(args.catalog, spark)
     eng = CrawlEngine(
         spark,
@@ -67,7 +79,7 @@ def main() -> None:
         pages,
         gen_seeds(args.scale),
         politeness_rows(),
-        robots_rows(args.seed, args.scale),
+        robots,
         round_seconds=args.round_seconds,
         use_bloom=not args.no_bloom,
     )
