@@ -75,6 +75,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
+    # warm-up: JVM codegen + python UDF workers, so query timings
+    # measure the operators rather than session spin-up
+    _force(qs["url_canonicalize"](spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -27,6 +27,14 @@ Scale notes: per-doc signature computation is embarrassingly parallel
 verification joins fetch shingle sets by doc_id (hash join on a
 pre-bucketable key). At 10^10 docs the shingle-set verify join is the
 expensive stage — band tuning (B, R) bounds the candidate count.
+
+Algorithms follow the published constructions: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+1997) with banded LSH (Leskovec/Rajaraman/Ullman, *Mining of Massive
+Datasets* ch. 3), and SimHash random-hyperplane-style fingerprints
+(Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002; Manku/Jain/Sarma, WWW 2007 for the
+hamming-banding dedup at crawl scale).
 """
 
 from __future__ import annotations
