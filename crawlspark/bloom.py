@@ -30,8 +30,6 @@ operator anyway.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -41,13 +39,22 @@ BLOOM_SCHEMA = "shard int, bitmap binary, n_bits long, n_hashes int"
 
 
 def _hash64_pair(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hashes per value (blake2b halves)."""
-    h1 = np.empty(len(values), dtype=np.uint64)
-    h2 = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        d = hashlib.blake2b((v or "").encode("utf-8"), digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little")
+    """Two independent 64-bit hashes per value — vectorized
+    (pd.util.hash_pandas_object = siphash-style keyed 64-bit, two
+    fixed keys). Bloom hashes are engine-internal: build and probe use
+    this same function, and the exact anti-join verifies every
+    positive, so no cross-engine hash parity is needed — unlike the
+    md5-based operators in textops. A per-row hashlib loop here cost
+    ~1 µs/URL and showed up at million-URL rounds."""
+    s = values.fillna("").astype(str)
+    h1 = pd.util.hash_pandas_object(
+        s, index=False, hash_key="crawlsparkbloom1"
+    ).to_numpy(dtype=np.uint64)
+    h2 = pd.util.hash_pandas_object(
+        s, index=False, hash_key="crawlsparkbloom2"
+    ).to_numpy(dtype=np.uint64)
+    # double hashing degenerates if h2 is even for many keys; force odd
+    h2 |= np.uint64(1)
     return h1, h2
 
 

@@ -49,10 +49,11 @@ def run_detail_pipeline(
     )
     cand = attach_canonical(cand)
     if seen is None:
-        # synthetic warm seen-set: ~20% of the corpus
-        seen = pages.select(
-            F.col("url").alias("url_canon")
-        ).filter(F.crc32("url") % 5 == 0)
+        # synthetic warm seen-set: ~20% of the corpus, canonicalized —
+        # the seen table's key is url_canon (FIXTURES.md §4)
+        seen = attach_canonical(
+            pages.select("url").filter(F.crc32("url") % 5 == 0)
+        ).select("url_canon")
     bloom = build_bloom(seen, n_shards=bloom_shards) if use_bloom else None
     fresh = dedup_against_seen(cand, seen, bloom, bloom_shards)
     gated = apply_robots(fresh, robots_df)

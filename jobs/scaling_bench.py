@@ -105,7 +105,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=12)
     ap.add_argument("--levels", default="2,8", help="N,4N core counts")
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--child-cpus", type=int, default=None)
     ap.add_argument("--pages", default=None)
     args = ap.parse_args()
