@@ -88,7 +88,13 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_shards: int = 32,
         salt_shards: int = 16,
+        seen_filter: str | None = None,
     ):
+        # seen_filter: "bloom" (default; fastest build, incremental) |
+        # "cuckoo" (deletion-capable → expire_seen/recrawl) | "exact"
+        # (anti-join only — the semantic ground truth). All three are
+        # observationally identical for dedup (probe-then-verify).
+        self.seen_filter = seen_filter or ("bloom" if use_bloom else "exact")
         self.spark = spark
         self.catalog = catalog
         self.pages = pages
@@ -237,11 +243,21 @@ class CrawlEngine:
             .drop("_rn")
         )
 
-        # ---- F-D seen dedup: bloom probe + exact anti-join backstop ----
-        bloom = None
-        if self.use_bloom and self.catalog.exists("seen_bloom"):
-            bloom = self.catalog.read_as_of_round("seen_bloom", rnd - 1)
-        fresh = dedup_against_seen(cand, seen, bloom, self.bloom_shards)
+        # ---- F-D seen dedup: filter probe + exact anti-join backstop ----
+        if self.seen_filter == "cuckoo":
+            from crawlspark.cuckoo import dedup_against_seen_cuckoo
+
+            ck = (
+                self.catalog.read_as_of_round("seen_cuckoo", rnd - 1)
+                if self.catalog.exists("seen_cuckoo")
+                else None
+            )
+            fresh = dedup_against_seen_cuckoo(cand, seen, ck, self.bloom_shards)
+        else:
+            bloom = None
+            if self.seen_filter == "bloom" and self.catalog.exists("seen_bloom"):
+                bloom = self.catalog.read_as_of_round("seen_bloom", rnd - 1)
+            fresh = dedup_against_seen(cand, seen, bloom, self.bloom_shards)
 
         # ---- robots gate ----
         gated = apply_robots(fresh, self.robots_df)
@@ -377,7 +393,15 @@ class CrawlEngine:
             base_round=rnd - 1,
             counters=counters,
         )
-        if self.use_bloom:
+        if self.seen_filter == "cuckoo":
+            from crawlspark.cuckoo import build_cuckoo
+
+            self.catalog.write(
+                "seen_cuckoo",
+                build_cuckoo(seen_new, n_shards=self.bloom_shards),
+                round_no=rnd,
+            )
+        elif self.seen_filter == "bloom":
             delta_keys = parsed.select("url_canon")
             prior = (
                 self.catalog.read_as_of_round("seen_bloom", rnd - 1)
@@ -487,6 +511,46 @@ class CrawlEngine:
             return self.spark.createDataFrame([], schema)
         df = self.catalog.read_as_of_round(table, round_no)
         return df if df is not None else self.spark.createDataFrame([], schema)
+
+    def expire_seen(self, before_round: int) -> int:
+        """Recrawl/refresh policy: drop seen entries first crawled
+        before ``before_round`` so the frontier re-schedules those URLs
+        on their next discovery. Engine extension beyond the reference
+        (which never refreshes; its ON CONFLICT upsert just absorbs
+        accidental recrawls — which is exactly why expiry is safe: a
+        refreshed fetch upserts in place).
+
+        Commits a new ``seen`` snapshot (tagged with the last committed
+        round, so resume semantics are untouched) and maintains the
+        seen filter: cuckoo deletes the expired keys in place
+        (O(expired)); bloom cannot delete → full rebuild.
+        Returns the number of expired entries."""
+        last = self.catalog.last_committed_round("crawl_log")
+        seen = self._state_as_of("seen", SEEN_SCHEMA, last)
+        keep = seen.filter(F.col("first_round") >= before_round)
+        expired = seen.filter(F.col("first_round") < before_round)
+        expired.cache()
+        n_expired = expired.count()
+        self.catalog.write("seen", keep, round_no=last)
+        if self.seen_filter == "cuckoo" and self.catalog.exists("seen_cuckoo"):
+            from crawlspark.cuckoo import delete_from_cuckoo
+
+            ck = self.catalog.read_as_of_round("seen_cuckoo", last)
+            self.catalog.write(
+                "seen_cuckoo",
+                delete_from_cuckoo(
+                    ck, expired.select("url_canon"), self.bloom_shards
+                ),
+                round_no=last,
+            )
+        elif self.seen_filter == "bloom" and self.catalog.exists("seen_bloom"):
+            self.catalog.write(
+                "seen_bloom",
+                build_bloom(keep, n_shards=self.bloom_shards),
+                round_no=last,
+            )
+        expired.unpersist()
+        return n_expired
 
     def run(self, n_rounds: int, resume: bool = True) -> list[dict]:
         start = 0
