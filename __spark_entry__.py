@@ -34,12 +34,15 @@ Operator → query map (SURVEY §2 ids):
   distinct agg ........ distinct_agg
   dedup family ........ dedup_exact, dedup_ngram_jaccard,
                         dedup_minhash_lsh, dedup_simhash,
-                        dedup_embedding_cosine
-  similarity .......... ann_topk_bruteforce, ann_topk_ivf (rows-only)
+                        dedup_embedding_cosine (brute oracle),
+                        dedup_embedding_lsh (sign-LSH scale path)
+  similarity .......... ann_topk_bruteforce, ann_topk_ivf
   text analysis ....... text_quality_langid, doc_fingerprint
   multimodal .......... media_features
-  crawl engine e2e .... crawl_replay (rows-only; full pytest replay
-                        oracle in tests/test_replay.py)
+  crawl engine e2e .... crawl_replay (oracle = the pure-Python
+                        reference simulator's ordered log embedded as
+                        a VALUES table; full multi-round replay oracle
+                        in tests/test_replay.py)
 """
 
 from __future__ import annotations
@@ -260,6 +263,45 @@ def q_crawl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.run(1, resume=False)
     return cat.read("crawl_log").orderBy("round", "phase", "seed_idx", "depth", "link_idx")
+
+
+def sql_crawl_replay() -> str:
+    """Hard oracle for the engine round: the pure-Python reference
+    simulator (tests/test_replay.py's ground truth) is run on the same
+    fixture and its ordered crawl log is embedded as a VALUES table —
+    the driver's value-hash gate then proves the Spark engine's log
+    byte-equals the reference ordering, not just its row count."""
+    from crawlspark.fixtures import (
+        gen_pages_rows,
+        gen_seeds,
+        politeness_rows,
+        robots_rows,
+    )
+    from crawlspark.simulator import ReferenceSimulator
+
+    sim = ReferenceSimulator(
+        {r["url"]: r["html"] for r in gen_pages_rows(42, "tiny")},
+        gen_seeds("tiny"),
+        politeness_rows(),
+        robots_rows(42, "tiny"),
+        round_seconds=600.0,
+    )
+    sim.run(1)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n      ".join(
+        f"({r['round']}, {q(r['phase'])}, {q(r['site'])}, {r['seed_idx']}, "
+        f"{r['depth']}, {r['link_idx']}, {q(r['url'])}, {q(r['host'])}, "
+        f"{str(bool(r['ok'])).upper()})"
+        for r in sim.state.log
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + vals
+        + ') AS t("round", phase, site, seed_idx, depth, link_idx, url, host, ok)'
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -640,9 +682,11 @@ def sql_sessionize() -> str:
     ),
     s AS (
       SELECT user_id, ts,
-             sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+             -- CAST: DuckDB's windowed sum() yields HUGEINT which
+             -- serializes as 1.0 vs Spark's bigint 1 (same values)
+             CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS session_idx
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM g
     )
     SELECT user_id, session_idx, count(*) AS n_events,
@@ -712,10 +756,57 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), banded=True)
 
 
+# Planted near-duplicates: the raw embeddings table has NO natural
+# near-dup pairs (max pairwise cosine ≈ 0.55 at the driver SF), so an
+# unmodified dedup query passes vacuously on the empty set. Both sides
+# derive the same deterministic corpus: every 20th vector gets a
+# perturbed copy (dim 0 scaled ×1.02 + 0.002 in double) under id+100000
+# — cosine(original, copy) ≥ ~0.999, so the verified set is non-empty.
+
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = emb.filter(F.pmod("vec_id", F.lit(20)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") * 1.02 + 0.002)
+            .otherwise(x.cast("double")),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dup)
+
+
+_PLANTED_SQL_PRELUDE = """planted AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE * 1.02 + 0.002
+                         ELSE embedding[i]::DOUBLE END)
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), """
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force O(n²) cosine dedup — the small-scale ground truth
+    (the ngram-Jaccard analogue); the scale path is dedup_embedding_lsh."""
     from crawlspark.textops import embedding_dup_pairs
 
-    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.95)
+    return embedding_dup_pairs(_planted_embeddings(spark, sf_dir), threshold=0.95)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed cosine dedup (the 100 TB path): hyperplane
+    sign bits → band buckets → bucket join → exact-cosine verify; the
+    SQL twin reproduces the banding exactly."""
+    from crawlspark.textops import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(_planted_embeddings(spark, sf_dir), threshold=0.95)
 
 
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_quality_langid": q_text_quality_langid,
@@ -835,7 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from crawlspark import textops as T
-    from crawlspark.similarity import brute_force_topk_sql
+    from crawlspark.similarity import brute_force_topk_sql, ivf_topk_sql
 
     return {
         "url_canonicalize": sql_url_canonicalize(),
@@ -843,8 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_pop": sql_frontier_pop(),
         "politeness_capacity": sql_politeness_capacity(),
         "robots_gate": sql_robots_gate(),
-        # crawl_replay: non-SQL-expressible (stateful multi-stage engine
-        # round) — rows-only check; replay oracle lives in pytest.
+        "crawl_replay": sql_crawl_replay(),
         "listed_date_convert": sql_listed_date_convert(),
         "role_enrichment": sql_role_enrichment(),
         "salary_validation": sql_salary_validation(),
@@ -864,10 +955,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": T.ngram_jaccard_pairs_sql(threshold=0.5),
         "dedup_minhash_lsh": T.minhash_lsh_pairs_sql(threshold=0.5),
         "dedup_simhash": T.simhash_pairs_sql(),
-        "dedup_embedding_cosine": T.embedding_dup_pairs_sql(threshold=0.95),
+        "dedup_embedding_cosine": T.embedding_dup_pairs_sql(
+            table="planted", threshold=0.95, prelude=_PLANTED_SQL_PRELUDE
+        ),
+        "dedup_embedding_lsh": T.embedding_lsh_pairs_sql(
+            table="planted", threshold=0.95, prelude=_PLANTED_SQL_PRELUDE
+        ),
         "ann_topk_bruteforce": brute_force_topk_sql(n_queries=10, k=5),
-        # ann_topk_ivf: probabilistic-recall ANN — rows-only check;
-        # recall floor asserted in pytest vs the brute-force oracle.
+        "ann_topk_ivf": ivf_topk_sql(n_queries=10, k=5),
         "text_quality_langid": sql_text_quality_langid(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "media_features": sql_media_features(),

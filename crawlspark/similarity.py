@@ -167,6 +167,61 @@ def ivf_topk(
     )
 
 
+def ivf_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = DEFAULT_K,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``ivf_topk`` — expressible because the IVF is
+    fully deterministic: first-C centroids, argmax-cosine bucket
+    assignment (ties → larger cid, matching Spark's max(struct)),
+    fixed probe count, total tie-broken rank order."""
+    assign_cos = cosine_sql("c.nv", "ct.cv")
+    probe_cos = cosine_sql("q.qv", "ct.cv")
+    score_cos = cosine_sql("p.qv", "b.nv")
+    return f"""
+    WITH cent AS (
+      SELECT {id_col} AS cid, {vec_col} AS cv FROM {table}
+      ORDER BY {id_col} LIMIT {n_centroids}
+    ),
+    c AS (SELECT {id_col} AS nid, {vec_col} AS nv FROM {table}),
+    assign AS (
+      SELECT c.nid, c.nv, ct.cid,
+             row_number() OVER (
+               PARTITION BY c.nid
+               ORDER BY round({assign_cos}, 9) DESC, ct.cid DESC) AS arn
+      FROM c CROSS JOIN cent ct
+    ),
+    bucketed AS (SELECT nid, nv, cid AS bucket FROM assign WHERE arn = 1),
+    q AS (
+      SELECT {id_col} AS qid, {vec_col} AS qv FROM {table}
+      ORDER BY {id_col} LIMIT {n_queries}
+    ),
+    qc AS (
+      SELECT q.qid, q.qv, ct.cid,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round({probe_cos}, 6) DESC, ct.cid) AS prank
+      FROM q CROSS JOIN cent ct
+    ),
+    probes AS (SELECT qid, qv, cid AS bucket FROM qc WHERE prank <= {n_probes}),
+    scored AS (
+      SELECT p.qid, b.nid, round({score_cos}, 6) AS cos
+      FROM bucketed b JOIN probes p ON b.bucket = p.bucket
+      WHERE p.qid <> b.nid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid, rank, nid, cos FROM ranked WHERE rank <= {k}"""
+
+
 def recall_vs_bruteforce(exact: DataFrame, approx: DataFrame) -> float:
     """Fraction of exact top-k (qid, nid) pairs found by the ANN."""
     e = {(r["qid"], r["nid"]) for r in exact.collect()}

@@ -194,9 +194,11 @@ def minhash_lsh_pairs(
     B band hashes → bucket self-join → exact-Jaccard verification.
 
     Physical plan at scale: the band explode multiplies rows by B (a
-    narrow op); the self-join shuffles on (band, band_hash) — uniform
-    md5 keys, no skew; verified pairs join back to shingle sets by
-    doc_id. No O(n²) stage anywhere.
+    narrow op) and carries ONLY (doc_id, band, band_hash) — the wide
+    shingle arrays never enter the banded shuffle; the self-join
+    shuffles on (band, band_hash) — uniform md5 keys, no skew; the
+    (small) deduped candidate set then re-joins the shingle sets by
+    doc_id for the exact-Jaccard verify. No O(n²) stage anywhere.
     """
     rows_per_band = MINHASH_K // MINHASH_BANDS
     s = _shingle_sets(docs, id_col, text_col)
@@ -207,7 +209,6 @@ def minhash_lsh_pairs(
     ]
     banded = s.select(
         "doc_id",
-        "sh",
         F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
     )
     a = banded.alias("a")
@@ -222,16 +223,21 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    sa = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_lsh_pairs_sql(
@@ -590,10 +596,160 @@ def embedding_dup_pairs_sql(
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prelude: str = "",
 ) -> str:
     cos = cosine_sql("a.v", "b.v")
     return f"""
-    WITH s AS (SELECT {id_col} AS vid, {vec_col} AS v FROM {table})
+    WITH {prelude}s AS (SELECT {id_col} AS vid, {vec_col} AS v FROM {table})
     SELECT a.vid AS id_a, b.vid AS id_b, round({cos}, 6) AS cos
     FROM s a JOIN s b ON a.vid < b.vid
+    WHERE round({cos}, 6) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane (sign) LSH for embedding-cosine dedup — the
+# bucketed 100 TB path (Charikar, STOC 2002: P[sign bits agree] =
+# 1 - θ/π). Deterministic Rademacher hyperplanes derived from md5 in
+# plain Python, embedded as literals on BOTH engines, so the banded
+# candidate set — and therefore the verified output — is exactly
+# reproducible by the DuckDB twin (same contract as MinHash-LSH:
+# "band-collision candidates verified by exact cosine").
+# ---------------------------------------------------------------------------
+
+EMB_LSH_BITS = 32
+EMB_LSH_BANDS = 4  # 4 bands x 8 bits: P[collide] per random pair ~4/2^8
+
+
+def hyperplane_signs(n_bits: int = EMB_LSH_BITS, dim: int = 64) -> list[list[int]]:
+    """±1 hyperplane components; md5-seeded so both engines share them
+    as literals (no engine RNG — replayable by construction)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"hp{p}|{d}".encode()).hexdigest()[:8], 16) & 1 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_bits)
+    ]
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = EMB_LSH_BITS,
+    bands: int = EMB_LSH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold via sign-LSH banding:
+    32 hyperplane sign bits → 4 band values → bucket self-join →
+    exact-cosine verify.
+
+    Physical plan at scale: sign bits are per-row expression folds (no
+    shuffle); the banded self-join shuffles (vid, band, band_val) only
+    — vectors never enter the wide shuffle; candidates re-join the
+    vectors by id for the verify. Candidate count for a random pair is
+    ~bands/2^(bits/bands) of n² (tune bits/band up at higher n); true
+    near-dups (θ small) collide with prob ≥ 1-(1-(1-θ/π)^(bits/bands))^bands.
+    """
+    planes = hyperplane_signs(n_bits, dim)
+    bits_per_band = n_bits // bands
+    s = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    bit_cols = []
+    for p in range(n_bits):
+        plane = F.array(*[F.lit(float(c)) for c in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda x, r: x * r),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_cols.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    band_cols = []
+    for b in range(bands):
+        bv = F.lit(0)
+        for j in range(bits_per_band):
+            bv = bv + bit_cols[b * bits_per_band + j] * F.lit(1 << j)
+        band_cols.append(bv)
+    banded = s.select(
+        "vid", F.posexplode(F.array(*band_cols)).alias("band", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = s.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"))
+    sb = s.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_lsh_pairs_sql(
+    table: str = "embeddings",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = EMB_LSH_BITS,
+    bands: int = EMB_LSH_BANDS,
+    prelude: str = "",
+) -> str:
+    planes = hyperplane_signs(n_bits, dim)
+    bits_per_band = n_bits // bands
+    bit_exprs = []
+    for p in range(n_bits):
+        arr = "[" + ", ".join(f"{float(c)}" for c in planes[p]) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> v[i] * ({arr}::DOUBLE[])[i]))"
+        )
+        bit_exprs.append(f"CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END AS bit{p}")
+    band_exprs = ", ".join(
+        " + ".join(
+            f"bit{b * bits_per_band + j} * {1 << j}" for j in range(bits_per_band)
+        )
+        + f" AS band{b}"
+        for b in range(bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vid, {b} AS band, band{b} AS band_val FROM bandv"
+        for b in range(bands)
+    )
+    cos = cosine_sql("sa.v", "sb.v")
+    return f"""
+    WITH {prelude}s AS (
+      SELECT {id_col} AS vid, list_transform({vec_col}, x -> x::DOUBLE) AS v
+      FROM {table}
+    ),
+    sigbits AS (SELECT vid, v, {", ".join(bit_exprs)} FROM s),
+    bandv AS (SELECT *, {band_exprs} FROM sigbits),
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.vid < b.vid
+    )
+    SELECT c.id_a, c.id_b, round({cos}, 6) AS cos
+    FROM cand c
+    JOIN s sa ON sa.vid = c.id_a
+    JOIN s sb ON sb.vid = c.id_b
     WHERE round({cos}, 6) >= {threshold}"""

@@ -71,8 +71,9 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_listed_in_survey_contract():
-    """Every oracle key must have a query and vice versa (minus the
-    documented rows-only ops)."""
+    """Every oracle key must have a query and vice versa — as of round
+    2 every query is oracle-gated (crawl_replay via the simulator
+    VALUES table, ann_topk_ivf via its deterministic DuckDB twin)."""
     qs, os_ = set(E.queries()), set(E.oracle_sql())
     assert os_ <= qs
-    assert qs - os_ == {"crawl_replay", "ann_topk_ivf"}
+    assert qs - os_ == set()

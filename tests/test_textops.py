@@ -244,3 +244,67 @@ def test_embedding_dups_vs_duckdb(spark):
         T.embedding_dup_pairs_sql(threshold=0.95),
         ["id_a", "id_b", "cos"],
     )
+
+
+def _planted_emb(spark):
+    """Embeddings plus perturbed near-dup copies (cos ≥ ~0.999)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dup = emb.filter(F.pmod("vec_id", F.lit(20)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") * 1.02 + 0.002)
+            .otherwise(x.cast("double")),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dup)
+
+
+def test_embedding_lsh_recall_and_precision(spark):
+    """Sign-LSH dedup must recover every planted near-dup pair (recall
+    1.0 on this fixture) and return ONLY pairs that truly clear the
+    cosine threshold (precision 1.0 by construction — exact verify)."""
+    planted = _planted_emb(spark)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in T.embedding_lsh_pairs(planted, threshold=0.95).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in T.embedding_dup_pairs(planted, threshold=0.95).collect()
+    }
+    assert brute, "fixture must contain planted near-dups (non-vacuous)"
+    assert lsh <= brute  # exact verify ⇒ no false positives
+    assert len(lsh & brute) / len(brute) >= 0.9  # near-dup recall
+    expected = {(i, i + 100000) for i in range(0, 500, 20)}
+    assert expected <= brute
+
+
+def test_embedding_lsh_vs_duckdb(spark):
+    """The sign-LSH banding is deterministic (md5-seeded hyperplanes
+    shared as literals) so its DuckDB twin reproduces it exactly."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    planted_sql = """planted AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE * 1.02 + 0.002
+                         ELSE embedding[i]::DOUBLE END)
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), """
+    _cmp(
+        T.embedding_lsh_pairs(_planted_emb(spark), threshold=0.95),
+        con,
+        T.embedding_lsh_pairs_sql(
+            table="planted", threshold=0.95, prelude=planted_sql
+        ),
+        ["id_a", "id_b", "cos"],
+    )
