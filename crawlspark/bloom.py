@@ -215,10 +215,15 @@ def dedup_against_seen(
     bloom: DataFrame | None,
     n_shards: int = 32,
     url_col: str = "url_canon",
+    owner: list | None = None,
 ) -> DataFrame:
     """F-D two-stage dedup: bloom probe (cheap prune) then exact
     left_anti verification of the positives. Without a bloom table it
-    degrades to the exact join alone (the semantic ground truth)."""
+    degrades to the exact join alone (the semantic ground truth).
+
+    ``owner``: optional list the internal branch-point persist is
+    appended to, so the caller can unpersist it once the round's
+    actions have materialized (persist-lifecycle ownership)."""
     seen_keys = seen.select(url_col)
     if bloom is None:
         return candidates.join(seen_keys, url_col, "left_anti")
@@ -232,6 +237,8 @@ def dedup_against_seen(
     probed = bloom_probe(candidates, bloom, n_shards, url_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if owner is not None:
+        owner.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = suspects.join(seen_keys, url_col, "left_anti")

@@ -239,6 +239,7 @@ def dedup_against_seen_cuckoo(
     cuckoo: DataFrame | None,
     n_shards: int = 32,
     url_col: str = "url_canon",
+    owner: list | None = None,
 ) -> DataFrame:
     """Probe-then-verify, mirroring bloom.dedup_against_seen: cuckoo
     positives verified by the exact anti-join (the reference's
@@ -253,6 +254,8 @@ def dedup_against_seen_cuckoo(
     probed = cuckoo_probe(candidates, cuckoo, n_shards, url_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if owner is not None:
+        owner.append(probed)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     return fresh.unionByName(suspects.join(seen_keys, url_col, "left_anti"))

@@ -92,6 +92,7 @@ def pop_per_host(
     salt_shards: int = 16,
     order_cols: list[str] | None = None,
     default_remaining: int = 0,
+    owner: list | None = None,
 ) -> DataFrame:
     """Frontier pop: per-host top-``remaining`` in discovery order.
 
@@ -122,6 +123,8 @@ def pop_per_host(
         .withColumn("remaining", F.coalesce("remaining", F.lit(default_remaining)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if owner is not None:
+        owner.append(cand)
     # hosts whose pending count exceeds their budget (small set: the
     # politeness-throttled hot hosts)
     contended_hosts = F.broadcast(

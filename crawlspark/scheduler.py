@@ -133,6 +133,7 @@ class CrawlEngine:
             cond = F.col("url").startswith(p)
             prefix_filter = cond if prefix_filter is None else (prefix_filter | cond)
         self._chain_pages: dict[str, bytes | None] = {}
+        self._chain_prefixes: set[str] = set()
         self._chain_pages_df = (
             pages.filter(prefix_filter)
             .filter(
@@ -149,13 +150,42 @@ class CrawlEngine:
         self._default_capacity = default_capacity(round_seconds)
 
     # ------------------------------------------------------------------
+    def _load_chain_pages(self, seed_urls: list[str]) -> None:
+        """Prefetch search pages for the round's ACTIVE chains only.
+
+        A chain's pages all share the seed URL's prefix (pagination
+        appends ``?page=N`` / ``&p=N`` / rewrites the trailing
+        ``page=N``), so the driver-side cache is bounded at
+        O(active chains × max_depth) rows per round — NOT the whole
+        multi-site search-page slice, which at a 10^10 frontier
+        (many seeds × many hosts) would be a driver-memory bottleneck.
+        Prefixes load once; later rounds only fetch newly-rotated
+        chains."""
+        prefixes = {
+            u.rsplit("page=", 1)[0] if "page=" in u else u for u in seed_urls
+        }
+        todo = sorted(p for p in prefixes if p not in self._chain_prefixes)
+        if not todo:
+            return
+        cond = None
+        for p in todo:
+            c = F.col("url").startswith(p)
+            cond = c if cond is None else (cond | c)
+        for r in self._chain_pages_df.filter(cond).collect():
+            self._chain_pages[r["url"]] = bytes(r["html"])
+        self._chain_prefixes.update(todo)
+
     def _chain_html(self, url: str) -> bytes | None:
-        """Search-page lookup from the cached chain slice (loaded once)."""
-        if not self._chain_pages:
-            rows = self._chain_pages_df.collect()
-            self._chain_pages = {r["url"]: bytes(r["html"]) for r in rows}
-            self._chain_pages[""] = None  # sentinel: loaded
-        return self._chain_pages.get(url)
+        """Search-page lookup from the per-chain prefetched cache; a
+        miss (dead link, or a chain URL outside the prefetched
+        prefixes) falls back to one narrow point lookup and is
+        memoized."""
+        if url in self._chain_pages:
+            return self._chain_pages[url]
+        rows = self._chain_pages_df.filter(F.col("url") == url).collect()
+        html = bytes(rows[0]["html"]) if rows else None
+        self._chain_pages[url] = html
+        return html
 
     def _capacity_of(self, host: str) -> int:
         rob = self._robots_by_host.get(host, {})
@@ -194,13 +224,22 @@ class CrawlEngine:
         log_rows: list[tuple] = []
         cand_rows: list[tuple] = []
         c1_frames: list[DataFrame] = []
+        # round-owned persist registry: everything persisted on behalf
+        # of this round is unpersisted after the commit (lifecycle
+        # ownership — no persisted-RDD growth across a long run)
+        round_persists: list[DataFrame] = []
 
         # ---- discovery: serial chain walks (F-A), one seed per site ----
+        active_seeds = {
+            site: seeds[rnd % len(seeds)]
+            for site, seeds in self.seeds_by_site.items()
+            if seeds
+        }
+        self._load_chain_pages([s["url"] for s in active_seeds.values()])
         for site in SITE_ORDER:
-            site_seeds = self.seeds_by_site.get(site) or []
-            if not site_seeds:
+            seed = active_seeds.get(site)
+            if seed is None:
                 continue
-            seed = site_seeds[rnd % len(site_seeds)]
             if site == "careerone":
                 self._careerone_chain(rnd, seed, take, log_rows, c1_frames)
                 continue
@@ -252,15 +291,27 @@ class CrawlEngine:
                 if self.catalog.exists("seen_cuckoo")
                 else None
             )
-            fresh = dedup_against_seen_cuckoo(cand, seen, ck, self.bloom_shards)
+            fresh = dedup_against_seen_cuckoo(
+                cand, seen, ck, self.bloom_shards, owner=round_persists
+            )
         else:
             bloom = None
             if self.seen_filter == "bloom" and self.catalog.exists("seen_bloom"):
                 bloom = self.catalog.read_as_of_round("seen_bloom", rnd - 1)
-            fresh = dedup_against_seen(cand, seen, bloom, self.bloom_shards)
+            fresh = dedup_against_seen(
+                cand, seen, bloom, self.bloom_shards, owner=round_persists
+            )
 
         # ---- robots gate ----
-        gated = apply_robots(fresh, self.robots_df)
+        # branch-point persist: gated feeds both the allowed pop chain
+        # and the blocked counter — unpersisted it re-runs the whole
+        # canonicalize-UDF + window + seen-filter chain per branch
+        from pyspark import StorageLevel
+
+        gated = apply_robots(fresh, self.robots_df).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        round_persists.append(gated)
         allowed = gated.filter(F.col("allowed")).drop("allowed")
         n_blocked = gated.filter(~F.col("allowed")).count()
 
@@ -283,6 +334,7 @@ class CrawlEngine:
             remaining,
             salt_shards=self.salt_shards,
             default_remaining=self._default_capacity,
+            owner=round_persists,
         )
         to_fetch = popped_all.filter(F.col("popped")).drop("popped")
         pending = popped_all.filter(~F.col("popped")).drop("popped")
@@ -449,6 +501,8 @@ class CrawlEngine:
         to_fetch.unpersist()
         hit.unpersist()
         parsed.unpersist()
+        for df in round_persists:
+            df.unpersist()
         return counters
 
     # ------------------------------------------------------------------

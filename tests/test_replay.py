@@ -139,3 +139,15 @@ def test_seen_warm_start(spark, tiny_pages):
     eng_seen = {r["url_canon"] for r in cat.read("seen").collect()}
     assert eng_seen == sim.state.seen
     assert _engine_log(cat) == _sim_log(sim)
+
+
+def test_persist_lifecycle_no_growth(spark, tiny_pages):
+    """Round-owned persists (bloom probe, pop branch point, robots
+    gate) must be released after each round: the persisted-RDD count
+    after a multi-round run may exceed the pre-run count only by the
+    engine's one long-lived cache (the chain-page slice)."""
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    _engine(spark, tiny_pages, 600.0)
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, f"persisted RDDs grew {before} -> {after}"
