@@ -121,6 +121,87 @@ class SnapshotCatalog:
         os.replace(tmp, self._manifest_path(table))  # the atomic commit point
         return snap_id
 
+    def write_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        touched: list[int],
+        round_no: int | None = None,
+        lineage: list[dict] | None = None,
+        counters: dict[str, Any] | None = None,
+        base_round: int | None = None,
+    ) -> int:
+        """Bucket-granular snapshot commit (the Iceberg MERGE INTO
+        shape): ``df`` holds ONLY the rows of the ``touched`` hash
+        buckets (under an int ``_bucket`` column); untouched buckets
+        keep referencing their previous immutable data dirs, so a merge
+        into a 10^10-row table costs O(touched buckets), not O(table).
+
+        The manifest entry records ``buckets: {bucket: dir}``; readers
+        compose the table from the per-bucket dirs (the ``_bucket``
+        partition column is path-encoded and never read back)."""
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        manifest = self._load_manifest(table) or {"current": -1, "snapshots": []}
+        snap_id = manifest["current"] + 1
+        data_dir = f"snap-{snap_id:06d}"
+        df.write.mode("overwrite").partitionBy("_bucket").parquet(
+            os.path.join(tdir, data_dir)
+        )
+        buckets: dict[str, str] = {}
+        base = None
+        if manifest["snapshots"]:
+            if base_round is None:
+                base = manifest["snapshots"][-1]
+            else:
+                prior = [
+                    e
+                    for e in manifest["snapshots"]
+                    if e["round"] is not None and e["round"] <= base_round
+                ]
+                base = prior[-1] if prior else None
+        if base is not None and base.get("buckets"):
+            buckets = dict(base["buckets"])
+        for k in touched:
+            bdir = os.path.join(tdir, data_dir, f"_bucket={k}")
+            if os.path.isdir(bdir):  # a touched bucket may merge to empty
+                buckets[str(k)] = f"{data_dir}/_bucket={k}"
+            else:
+                buckets.pop(str(k), None)
+        entry = {
+            "id": snap_id,
+            "round": round_no,
+            "committed_at": time.time(),
+            "dirs": [],
+            "buckets": buckets,
+            "schema": df.drop("_bucket").schema.json(),
+            "lineage": lineage or [],
+            "counters": counters or {},
+        }
+        manifest["snapshots"].append(entry)
+        manifest["current"] = snap_id
+        fd, tmp = tempfile.mkstemp(dir=tdir, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))
+        return snap_id
+
+    def is_bucketed_as_of(self, table: str, round_no: int) -> bool:
+        candidates = [
+            e
+            for e in self.history(table)
+            if e["round"] is not None and e["round"] <= round_no
+        ]
+        return bool(candidates and candidates[-1].get("buckets"))
+
+    def bucket_map_as_of(self, table: str, round_no: int) -> dict[str, str]:
+        candidates = [
+            e
+            for e in self.history(table)
+            if e["round"] is not None and e["round"] <= round_no
+        ]
+        return dict(candidates[-1].get("buckets") or {}) if candidates else {}
+
     def _entry(self, table: str, snapshot_id: int | None = None) -> dict:
         m = self._load_manifest(table)
         if m is None:
@@ -134,7 +215,8 @@ class SnapshotCatalog:
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
         e = self._entry(table, snapshot_id)
         tdir = os.path.join(self.root, table)
-        return self.spark.read.parquet(*[os.path.join(tdir, d) for d in e["dirs"]])
+        dirs = list(e.get("buckets", {}).values()) or e["dirs"]
+        return self.spark.read.parquet(*[os.path.join(tdir, d) for d in dirs])
 
     def read_as_of_round(self, table: str, round_no: int) -> DataFrame | None:
         """Latest snapshot committed at or before ``round_no`` — the
@@ -179,6 +261,8 @@ class SnapshotCatalog:
         live: set[str] = set()
         for s in m["snapshots"][-keep:]:
             live.update(s["dirs"])
+            # a snap dir stays live while ANY of its buckets is referenced
+            live.update(p.split("/", 1)[0] for p in s.get("buckets", {}).values())
         tdir = os.path.join(self.root, table)
         for name in os.listdir(tdir):
             if name.startswith("snap-") and name not in live:

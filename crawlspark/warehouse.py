@@ -192,8 +192,23 @@ def merge_job_metadata(existing: DataFrame | None, new_rows: DataFrame) -> DataF
     )
 
 
+N_MERGE_BUCKETS = 64
+
+
+def natural_key_bucket(n_buckets: int = N_MERGE_BUCKETS):
+    """Stable hash bucket of the natural key (xxhash64 is
+    deterministic across sessions) — the table's physical partitioning
+    for incremental merges."""
+    key = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(k).cast("string"), F.lit("")) for k in NATURAL_KEY],
+    )
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+
+
 def merge_round(
-    catalog, spark: SparkSession, parsed: DataFrame, c1_jobs: DataFrame | None, rnd: int
+    catalog, spark: SparkSession, parsed: DataFrame, c1_jobs: DataFrame | None, rnd: int,
+    n_buckets: int = N_MERGE_BUCKETS,
 ) -> None:
     dim = F.broadcast(website_dim(spark))
     rows = build_seek_jora_metadata(
@@ -218,11 +233,36 @@ def merge_round(
             256,
         ),
     ).select(*JOB_METADATA_COLS, "job_idx")
+    # bucketed upsert: only hash buckets containing a new natural key
+    # are read back, merged and rewritten — O(touched) per round, the
+    # offline MERGE INTO (untouched buckets keep their immutable files;
+    # at 10^10 rows this is the difference between an O(delta) commit
+    # and rewriting the whole table every round, docs/SCALE.md).
+    rows = rows.withColumn("_bucket", natural_key_bucket(n_buckets))
+    touched = sorted(
+        r["_bucket"] for r in rows.select("_bucket").distinct().collect()
+    )
     existing = None
     if catalog.exists("job_metadata"):
         existing = catalog.read_as_of_round("job_metadata", rnd - 1)
+    if existing is not None:
+        existing = existing.withColumn("_bucket", natural_key_bucket(n_buckets))
+        if catalog.is_bucketed_as_of("job_metadata", rnd - 1):
+            existing = existing.filter(F.col("_bucket").isin(touched))
+        else:
+            # one-time migration from an unbucketed snapshot: full
+            # rewrite, every populated bucket is touched
+            touched = sorted(
+                set(touched)
+                | {
+                    r["_bucket"]
+                    for r in existing.select("_bucket").distinct().collect()
+                }
+            )
     merged = merge_job_metadata(existing, rows).drop("job_idx")
-    catalog.write("job_metadata", merged, round_no=rnd)
+    catalog.write_bucketed(
+        "job_metadata", merged, touched, round_no=rnd, base_round=rnd - 1
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -134,3 +134,40 @@ def test_views_match_duckdb(spark, cat4):
         ).fetchall()
     )
     assert got == want
+
+
+def test_bucketed_merge_untouched_buckets_immutable(cat4):
+    """The bucketed upsert must rewrite ONLY buckets holding a round's
+    new natural keys: any bucket whose dir pointer is inherited across
+    rounds references the exact same immutable files (byte-identical by
+    construction); at least some buckets must be inherited (rotation
+    means rounds touch different key subsets), and the composed table
+    still passes the natural-key invariants."""
+    import hashlib
+    import os
+
+    hist = cat4.history("job_metadata")
+    by_round = {e["round"]: e for e in hist if e.get("buckets")}
+    assert len(by_round) >= 2, "engine rounds should commit bucketed snapshots"
+    rounds = sorted(by_round)
+    inherited = 0
+    tdir = os.path.join(cat4.root, "job_metadata")
+    for r0, r1 in zip(rounds, rounds[1:]):
+        b0, b1 = by_round[r0]["buckets"], by_round[r1]["buckets"]
+        for k, d in b1.items():
+            if b0.get(k) == d:
+                inherited += 1
+                # same pointer → same physical files, still present
+                full = os.path.join(tdir, d)
+                assert os.path.isdir(full)
+                files = sorted(
+                    f for f in os.listdir(full) if f.endswith(".parquet")
+                )
+                assert files
+                hashlib.sha256(
+                    open(os.path.join(full, files[0]), "rb").read()
+                ).hexdigest()  # readable bytes
+    assert inherited > 0, "no bucket was ever inherited — merge is O(table)"
+    # the inherited layout must not have lost or duplicated any key
+    jm = cat4.read("job_metadata")
+    assert jm.select(*warehouse.NATURAL_KEY).distinct().count() == jm.count()
