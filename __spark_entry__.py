@@ -421,6 +421,70 @@ def sql_salary_validation() -> str:
     FROM o"""
 
 
+# deterministic description synth shared by q_desc_extract and its twin
+_DESC_SKILL_CASES = [
+    " requires python, spark and sql.",
+    " stack: airflow, dbt, kafka.",
+    " great team and culture.",
+]
+_DESC_SQL = (
+    "'role: ' || p_name || "
+    "CASE (p_partkey % 3) "
+    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_DESC_SKILL_CASES))
+    + " END || "
+    "CASE (p_partkey % 4) "
+    "WHEN 0 THEN ' pay $' || (80 + p_partkey % 60) || 'k - $' || (160 + p_partkey % 80) || 'k' "
+    "WHEN 1 THEN ' salary $' || (70000 + (p_partkey * 7) % 90000) "
+    "WHEN 2 THEN ' circa $' || (90 + p_partkey % 40) || 'k' "
+    "ELSE '' END"
+)
+
+
+def q_desc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 replacement operator: deterministic skill-lexicon + salary
+    regex extraction over a job-description text (the LLM-agent output
+    fields, replayable), through the faithful C10 validation chain."""
+    from crawlspark.functions import (
+        extract_salary_fields,
+        extract_skills,
+        normalize_skills,
+        salary_exprs,
+    )
+
+    p = _t(spark, sf_dir, "part").selectExpr("p_partkey", f"{_DESC_SQL} AS text")
+    mn_raw, mx_raw, sal = extract_salary_fields(F.col("text"))
+    mn, mx = salary_exprs(mn_raw, mx_raw, sal, post_validate=True)
+    return p.select(
+        "p_partkey",
+        F.concat_ws(",", normalize_skills(extract_skills(F.col("text")))).alias(
+            "skills_csv"
+        ),
+        mn.cast("int").alias("min_salary"),
+        mx.cast("int").alias("max_salary"),
+    )
+
+
+def sql_desc_extract() -> str:
+    from crawlspark.functions import (
+        extract_salary_sql,
+        extract_skills_sql,
+        salary_sql,
+    )
+
+    mn_raw, mx_raw, sal = extract_salary_sql("text")
+    mn, mx = salary_sql(f"({mn_raw})", f"({mx_raw})", f"({sal})", post_validate=True)
+    # COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws ''
+    skills = (
+        f"COALESCE(array_to_string(list_sort({extract_skills_sql('text')}), ','), '')"
+    )
+    return f"""
+    WITH p AS (SELECT p_partkey, {_DESC_SQL} AS text FROM part)
+    SELECT p_partkey, {skills} AS skills_csv,
+           CAST(({mn}) AS INT) AS min_salary,
+           CAST(({mx}) AS INT) AS max_salary
+    FROM p"""
+
+
 def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 natural-key upsert as window dedup: latest (ts, event_id)
     wins per (user_id, event_type) — the offline MERGE INTO."""
@@ -899,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listed_date_convert": q_listed_date_convert,
         "role_enrichment": q_role_enrichment,
         "salary_validation": q_salary_validation,
+        "desc_extract": q_desc_extract,
         "upsert_latest": q_upsert_latest,
         "topk_per_group": q_topk_per_group,
         "props_extract": q_props_extract,
@@ -939,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
         "listed_date_convert": sql_listed_date_convert(),
         "role_enrichment": sql_role_enrichment(),
         "salary_validation": sql_salary_validation(),
+        "desc_extract": sql_desc_extract(),
         "upsert_latest": sql_upsert_latest(),
         "topk_per_group": sql_topk_per_group(),
         "props_extract": sql_props_extract(),

@@ -29,6 +29,7 @@ HEADLINE = [
     "listed_date_convert",
     "role_enrichment",
     "salary_validation",
+    "desc_extract",
     "upsert_latest",
     "topk_per_group",
     "windowed_events",
@@ -44,6 +45,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "text_quality_langid",

@@ -167,7 +167,7 @@ def _seek_detail(seed: int, url: str) -> tuple[bytes, str]:
     role_title = f"{['Junior ', 'Senior ', '', 'Lead ', 'Principal '][h % 5]}{['Data Engineer', 'ML Engineer', 'Platform Engineer', 'Analytics Engineer'][h // 5 % 4]}"
     company = COMPANIES[h % len(COMPANIES)]
     has_company = h % 7 != 0
-    n_info = h % 4  # 0..3 "other job info" spans
+    n_info = h % 5  # 0..4 "other job info" spans (4 ⇒ salary span too)
     has_listed = h % 5 != 0
     listed = LISTED_DATE_POOL[h % len(LISTED_DATE_POOL)]
     desc_html, desc_text = _description_html(seed, url)

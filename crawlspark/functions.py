@@ -333,3 +333,88 @@ def normalize_skills(col: Column) -> Column:
     return F.array_sort(
         F.array_distinct(F.transform(col, lambda s: F.lower(F.trim(s))))
     )
+
+
+# ---------------------------------------------------------------------------
+# S13 replacement: deterministic skill + salary extraction over
+# combination_text — the SAME artifact the reference feeds its LLM
+# agent (seek_job_description_extraction.py:72-227,
+# jora_job_description_extraction.py:96-217). The LLM call is
+# non-deterministic and out of scope (SURVEY §2.1); these extractors
+# populate the same output fields (skills, min/max_salary) with a
+# replayable keyword-lexicon scan and a salary-pattern regex, so the
+# analytics views (Q1-Q4) carry skills/salary content for ALL sites,
+# not just CareerOne. Pure Column expressions with SQL twins.
+# ---------------------------------------------------------------------------
+
+SKILL_LEXICON = [
+    "python", "spark", "sql", "nosql", "airflow", "kafka", "snowflake",
+    "dbt", "terraform", "kubernetes", "docker", "api", "microservices",
+    "streaming", "observability", "security", "java", "scala", "react",
+    "aws", "azure", "gcp",
+]
+
+_SAL_RANGE = r"\$\s*(\d[\d,]*)\s*(k?)\s*(?:-|to)\s*\$\s*(\d[\d,]*)\s*(k?)"
+_SAL_SINGLE = r"\$\s*(\d[\d,]*)\s*(k?)"
+
+
+def extract_skills(text: Column) -> Column:
+    """Skills mentioned in the text (word-boundary match against the
+    fixed lexicon); lexicon order — pass through normalize_skills (C16)
+    for the canonical sorted-set form."""
+    lt = F.lower(text)
+    hits = [
+        F.when(lt.rlike(rf"\b{s}\b"), F.lit(s)) for s in SKILL_LEXICON
+    ]
+    return F.array_compact(F.array(*hits))
+
+
+def extract_skills_sql(c: str) -> str:
+    items = ", ".join(
+        f"CASE WHEN regexp_matches(lower({c}), '\\b{s}\\b') THEN '{s}' END"
+        for s in SKILL_LEXICON
+    )
+    return f"list_filter([{items}], x -> x IS NOT NULL)"
+
+
+def _sal_num(v: Column, k: Column) -> Column:
+    return F.when(
+        v != "",
+        F.regexp_replace(v, ",", "").cast("double")
+        * F.when(k == "k", F.lit(1000.0)).otherwise(F.lit(1.0)),
+    )
+
+
+def extract_salary_fields(text: Column) -> tuple[Column, Column, Column]:
+    """(min_raw, max_raw, salary) for salary_exprs (C10): a '$X - $Y'
+    range fills min/max; a lone '$X' fills the single-salary field
+    (mirroring the LLM output schema's three fields)."""
+    lt = F.lower(text)
+    mn = _sal_num(
+        F.regexp_extract(lt, _SAL_RANGE, 1), F.regexp_extract(lt, _SAL_RANGE, 2)
+    )
+    mx = _sal_num(
+        F.regexp_extract(lt, _SAL_RANGE, 3), F.regexp_extract(lt, _SAL_RANGE, 4)
+    )
+    single = _sal_num(
+        F.regexp_extract(lt, _SAL_SINGLE, 1), F.regexp_extract(lt, _SAL_SINGLE, 2)
+    )
+    salary = F.when(mn.isNull(), single)
+    return mn, mx, salary
+
+
+def _sal_num_sql(v: str, k: str) -> str:
+    return (
+        f"CASE WHEN {v} <> '' THEN CAST(replace({v}, ',', '') AS DOUBLE) "
+        f"* (CASE WHEN {k} = 'k' THEN 1000.0 ELSE 1.0 END) END"
+    )
+
+
+def extract_salary_sql(c: str) -> tuple[str, str, str]:
+    lt = f"lower({c})"
+    rex = lambda pat, i: f"COALESCE(regexp_extract({lt}, '{pat}', {i}), '')"  # noqa: E731
+    mn = _sal_num_sql(rex(_SAL_RANGE, 1), rex(_SAL_RANGE, 2))
+    mx = _sal_num_sql(rex(_SAL_RANGE, 3), rex(_SAL_RANGE, 4))
+    single = _sal_num_sql(rex(_SAL_SINGLE, 1), rex(_SAL_SINGLE, 2))
+    salary = f"CASE WHEN ({mn}) IS NULL THEN ({single}) END"
+    return mn, mx, salary

@@ -99,10 +99,15 @@ def build_seek_jora_metadata(parsed: DataFrame, rnd: int) -> DataFrame:
             F.concat(F.sha2(F.col("url"), 256), F.lit(".txt")),
         )
     )
+    # S13 replacement: the reference fills salary/skills via its LLM
+    # agent over combination_text; the deterministic extractors scan
+    # the same artifact (functions.py SKILL_LEXICON / salary regex) and
+    # feed the SAME pydantic-faithful validation chain (C10)
+    raw_mn, raw_mx, raw_sal = cf.extract_salary_fields(F.col("combination_text"))
     min_s, max_s = cf.salary_exprs(
-        F.lit(None).cast("int"),
-        F.lit(None).cast("int"),
-        F.lit(None).cast("int"),
+        raw_mn,
+        raw_mx,
+        raw_sal,
         post_validate=True,  # jora/seek path calls post_salary_validator
     )
     return parsed.select(
@@ -130,7 +135,9 @@ def build_seek_jora_metadata(parsed: DataFrame, rnd: int) -> DataFrame:
         raw_file.alias("raw_content_file"),
         c["level"].alias("level"),
         F.lit(None).cast("string").alias("extraction_role"),
-        F.array().cast("array<string>").alias("skills"),  # LLM-only (S13)
+        cf.normalize_skills(
+            cf.extract_skills(F.col("combination_text"))
+        ).alias("skills"),
         F.lit(rnd).alias("round"),
         F.lit(None).cast("int").alias("job_idx"),
     )

@@ -171,3 +171,24 @@ def test_bucketed_merge_untouched_buckets_immutable(cat4):
     # the inherited layout must not have lost or duplicated any key
     jm = cat4.read("job_metadata")
     assert jm.select(*warehouse.NATURAL_KEY).distinct().count() == jm.count()
+
+
+def test_seek_jora_skills_and_salary_populated(cat4):
+    """S13-replacement gate: seek/jora rows (website ids 2/1) must
+    carry deterministically-extracted skills, and seek pages whose
+    info spans include the salary range must land validated salaries —
+    the analytics views are populated by all three sites, not just
+    CareerOne (the reference fills these via its LLM agent)."""
+    jm = cat4.read("job_metadata")
+    sj = jm.filter(F.col("crawled_website_id").isin(1, 2))
+    n = sj.count()
+    assert n > 0
+    assert sj.filter(F.size("skills") > 0).count() > 0
+    with_salary = sj.filter(F.col("min_salary").isNotNull())
+    assert with_salary.count() > 0
+    # extracted salaries went through the C10 chain (capped, min==max
+    # per the faithful max:=min quirk on the range path)
+    bad = with_salary.filter(
+        (F.col("min_salary") >= 1_000_000) | (F.col("min_salary") < 0)
+    ).count()
+    assert bad == 0
