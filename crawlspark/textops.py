@@ -56,6 +56,21 @@ SIMHASH_MAX_HAMMING = 3
 FINGERPRINT_K = 8  # bottom-k sketch size
 
 
+def _branch_persist(df: DataFrame, owner: list | None) -> DataFrame:
+    """Branch-point persist for LSH band frames: the banded self-join
+    feeds the SAME expensive signature subtree to both sides (AQE
+    broadcasts one side, so there is no exchange reuse) — without the
+    persist every per-doc signature is computed twice. The band frame
+    is narrow (id + band + hash). ``owner`` collects it for caller-side
+    unpersist; without an owner the session LRU reclaims it."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if owner is not None:
+        owner.append(df)
+    return df
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens of the lowercased text (deterministic,
     locale-free — identical in Spark and DuckDB)."""
@@ -175,11 +190,26 @@ def ngram_jaccard_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
-def minhash_sig_cols(sh: Column, k: int = MINHASH_K) -> list[Column]:
-    """K permutation min-hashes: min over shingles of md5('p{i}|'+s).
-    Pure per-row expressions — no shuffle, no UDF."""
+def minhash_hash_pair_cols(sh: Column) -> tuple[Column, Column]:
+    """(h1s, h2s): one md5 per shingle, split into two 32-bit integer
+    pieces — the seeds of the Carter-Wegman affine family below.
+    Materialize these ONCE per row (a projection step) before deriving
+    the K permutations; inlining would recompute the digest K times."""
+    mh = F.transform(sh, lambda s: F.md5(s))
+    h1s = F.transform(mh, lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint"))
+    h2s = F.transform(mh, lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint"))
+    return h1s, h2s
+
+
+def minhash_sig_cols(h1s: Column, h2s: Column, k: int = MINHASH_K) -> list[Column]:
+    """K permutation min-hashes via the universal affine family
+    h_i(x) = h1(x) + i*h2(x) over one digest per shingle (Broder 1997;
+    MMDS ch. 3 §3.3.5 uses exactly this one-hash + K-functions form) —
+    K times fewer digests than hashing each permutation separately.
+    Values stay < 2^36 (32-bit pieces, i < K), no bigint overflow; the
+    SQL twin reproduces them bit-exactly."""
     return [
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"p{i}|"), s))))
+        F.array_min(F.zip_with(h1s, h2s, lambda a, b: a + F.lit(i) * b))
         for i in range(k)
     ]
 
@@ -189,6 +219,7 @@ def minhash_lsh_pairs(
     threshold: float = JACCARD_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
+    owner: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash: shingle → K min-hashes →
     B band hashes → bucket self-join → exact-Jaccard verification.
@@ -201,16 +232,24 @@ def minhash_lsh_pairs(
     doc_id for the exact-Jaccard verify. No O(n²) stage anywhere.
     """
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    s = _shingle_sets(docs, id_col, text_col)
-    sigs = minhash_sig_cols(F.col("sh"))
+    # branch-point persist: the shingle sets feed the band pipeline AND
+    # both sides of the verify join — shingling is the dominant per-row
+    # cost and must run once per doc, not once per use. At corpus scale
+    # this frame is the signature table you would materialize to
+    # storage anyway (MEMORY_AND_DISK spills).
+    s = _branch_persist(_shingle_sets(docs, id_col, text_col), owner)
+    h1s, h2s = minhash_hash_pair_cols(F.col("sh"))
+    hashed = s.select("doc_id", h1s.alias("h1s"), h2s.alias("h2s"))
+    sigs = minhash_sig_cols(F.col("h1s"), F.col("h2s"))
     band_hashes = [
         F.md5(F.concat_ws("|", *sigs[b * rows_per_band : (b + 1) * rows_per_band]))
         for b in range(MINHASH_BANDS)
     ]
-    banded = s.select(
+    banded = hashed.select(
         "doc_id",
         F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
     )
+    banded = _branch_persist(banded, owner)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -226,6 +265,9 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify: candidates re-join the CACHED shingle sets by id — the
+    # jaccard then evaluates over materialized arrays (cheap set ops),
+    # never re-tokenizing text per candidate
     sa = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -248,7 +290,8 @@ def minhash_lsh_pairs_sql(
 ) -> str:
     rows_per_band = MINHASH_K // MINHASH_BANDS
     sig_exprs = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('p{i}|' || s))) AS sig{i}"
+        f"list_min(list_transform(range(1, len(h1s) + 1), "
+        f"j -> h1s[j] + {i} * h2s[j])) AS sig{i}"
         for i in range(MINHASH_K)
     )
     band_exprs = ", ".join(
@@ -268,7 +311,14 @@ def minhash_lsh_pairs_sql(
       SELECT {id_col} AS doc_id, {shingles_sql(tokens_sql(text_col))} AS sh
       FROM {table}
     ),
-    sig0 AS (SELECT doc_id, sh, {sig_exprs} FROM s),
+    mh AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS mhex FROM s),
+    hp AS (
+      SELECT doc_id, sh,
+             list_transform(mhex, x -> ('0x' || substr(x, 1, 8))::BIGINT) AS h1s,
+             list_transform(mhex, x -> ('0x' || substr(x, 9, 8))::BIGINT) AS h2s
+      FROM mh
+    ),
+    sig0 AS (SELECT doc_id, sh, {sig_exprs} FROM hp),
     sigs AS (SELECT *, {band_exprs} FROM sig0),
     banded AS ({band_rows}),
     cand AS (
@@ -346,6 +396,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     banded: bool = True,
+    owner: list | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with simhash hamming distance ≤ max_hamming.
 
@@ -383,6 +434,7 @@ def simhash_pairs(
             )
         ).alias("band", "band_val"),
     )
+    banded_df = _branch_persist(banded_df, owner)
     a, b = banded_df.alias("a"), banded_df.alias("b")
     return (
         a.join(
@@ -642,6 +694,7 @@ def embedding_lsh_pairs(
     dim: int = 64,
     n_bits: int = EMB_LSH_BITS,
     bands: int = EMB_LSH_BANDS,
+    owner: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold via sign-LSH banding:
     32 hyperplane sign bits → 4 band values → bucket self-join →
@@ -678,6 +731,7 @@ def embedding_lsh_pairs(
     banded = s.select(
         "vid", F.posexplode(F.array(*band_cols)).alias("band", "band_val")
     )
+    banded = _branch_persist(banded, owner)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
