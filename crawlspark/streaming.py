@@ -91,13 +91,86 @@ def stream_events(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
+HEALTH_OUT_SCHEMA = "host string, total long, failures long, fail_streak long"
+HEALTH_STATE_SCHEMA = "total long, failures long, streak long"
+
+# canonical per-host fold order for the crawl log (matches the replay
+# suite's LOG_SORT with phase ranked search-before-detail)
+_LOG_ORDER = ["round", "phase_rank", "seed_idx", "depth", "link_idx"]
+
+
+def stream_host_health(spark: SparkSession, catalog_root: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    per-host crawl health carried across triggers — total fetches,
+    total failures, and the current consecutive-failure streak (the
+    signal a production crawl uses to quarantine a dying host).
+
+    State is one narrow tuple per host; within each trigger the rows
+    fold in the canonical log order, so the result is deterministic
+    for any file→trigger batching that respects round order (the
+    snapshot catalog appends rounds in order). Tested against a
+    pure-Python fold of the same ordered log."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(CRAWL_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(os.path.join(catalog_root, "crawl_log", "snap-*"))
+        .withColumn(
+            "phase_rank", F.when(F.col("phase") == "search", 0).otherwise(1)
+        )
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (host,) = key
+        total, failures, streak = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(_LOG_ORDER)
+        for ok in rows["ok"]:
+            total += 1
+            if bool(ok):
+                streak = 0
+            else:
+                failures += 1
+                streak += 1
+        state.update((total, failures, streak))
+        yield pd.DataFrame(
+            [
+                {
+                    "host": host,
+                    "total": total,
+                    "failures": failures,
+                    "fail_streak": streak,
+                }
+            ]
+        )
+
+    return src.groupBy("host").applyInPandasWithState(
+        update,
+        HEALTH_OUT_SCHEMA,
+        HEALTH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint: str,
+    output_mode: str = "complete",
+):
     """Drain everything currently available into a memory sink and stop
-    — the deterministic test/monitoring-poll mode."""
+    — the deterministic test/monitoring-poll mode. Stateful operators
+    (applyInPandasWithState) require ``output_mode='update'``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

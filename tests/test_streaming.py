@@ -65,3 +65,46 @@ def test_stream_crawl_log_follows_catalog(spark, cat4, tmp_path):
     }
     assert got == want
     assert any(f > 0 for f, _ in got.values())
+
+
+def test_stream_host_health_stateful(spark, cat4, tmp_path):
+    """applyInPandasWithState across triggers: the final per-host state
+    (total fetches, failures, consecutive-failure streak) must equal a
+    pure-Python fold over the canonically-ordered crawl log."""
+    out = ST.stream_host_health(spark, cat4.root)
+    ST.run_available_now(
+        out, "health", str(tmp_path / "ckpt3"), output_mode="update"
+    )
+    # update mode emits one row per host per trigger; keep the last
+    import pandas as pd
+
+    rows = spark.sql("SELECT * FROM health").collect()
+    got = {}
+    for r in rows:  # memory sink appends in trigger order
+        got[r["host"]] = (r["total"], r["failures"], r["fail_streak"])
+
+    raw = (
+        spark.read.schema(ST.CRAWL_LOG_SCHEMA)
+        .parquet(os.path.join(cat4.root, "crawl_log", "snap-*"))
+        .collect()
+    )
+    ordered = sorted(
+        raw,
+        key=lambda r: (
+            r["round"], 0 if r["phase"] == "search" else 1,
+            r["seed_idx"], r["depth"], r["link_idx"],
+        ),
+    )
+    want = {}
+    for r in ordered:
+        t, f, s = want.get(r["host"], (0, 0, 0))
+        t += 1
+        if r["ok"]:
+            s = 0
+        else:
+            f += 1
+            s += 1
+        want[r["host"]] = (t, f, s)
+    assert got == want
+    assert len(got) > 0
+    assert sum(f for _, f, _ in got.values()) > 0, "fixture has dead links"
