@@ -13,8 +13,9 @@ array<float>, label)``:
 * ``ivf_topk`` — IVF-style bucketed search for the 100 TB path:
   deterministic "training-free" centroids (the first C vectors by id —
   a fixed, replayable choice), each corpus vector assigned to its
-  nearest centroid (one broadcast join + argmin, computed once and
-  reusable as a bucketed table), queries probe the P nearest
+  nearest centroid by a per-row argmax fold over the centroid literals
+  (NO corpus shuffle — computed once and reusable as a bucketed
+  table), queries probe the P nearest
   centroids' buckets only → candidate set shrinks by ~C/P. Exact
   cosine + top-k within the probed buckets. Recall < 1 by design;
   measured in tests against brute force.
@@ -107,16 +108,25 @@ def brute_force_topk_sql(
 # ---------------------------------------------------------------------------
 
 
-def _assign_bucket(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid bucket per corpus row: broadcast join + argmax
-    cosine; ties broken by centroid id (deterministic/replayable)."""
-    joined = corpus.join(F.broadcast(centroids))
-    sim = F.round(cosine(F.col("nv"), F.col("cv")), 9)
-    best = F.max(F.struct(sim.alias("s"), F.col("cid").alias("cid")))
-    return (
-        joined.groupBy("nid")
-        .agg(F.first("nv").alias("nv"), best["cid"].alias("bucket"))
-    )
+def _assign_bucket(corpus: DataFrame, centroid_rows: list) -> DataFrame:
+    """Nearest-centroid bucket per corpus row, computed as a PER-ROW
+    argmax over the centroid list embedded as literals — the corpus
+    never shuffles and never carries its vectors through an exchange
+    (the previous cross-join + groupBy shuffled the whole corpus,
+    which is the scan-sized bottleneck at 10^10 vectors). Ties break
+    toward the larger cid (== max(struct(s, cid)) semantics, matching
+    the SQL twin). Centroids are driver-small by construction
+    (n_centroids × dim floats)."""
+    cands = []
+    for cid, vec in centroid_rows:
+        cv = F.array(*[F.lit(float(x)) for x in vec])
+        s = F.round(cosine(F.col("nv"), cv), 9)
+        cands.append(F.struct(s.alias("s"), F.lit(int(cid)).alias("cid")))
+    # array_max orders structs lexicographically: highest sim, then
+    # highest cid — a linear expression (an iterated when() would nest
+    # prior branches exponentially and blow the expression tree)
+    best = F.array_max(F.array(*cands))
+    return corpus.select("nid", "nv", best["cid"].alias("bucket"))
 
 
 def ivf_topk(
@@ -133,13 +143,17 @@ def ivf_topk(
     brute_force_topk. At scale the bucket assignment is precomputed /
     bucketed-by on write, so a query touches n_probes/n_centroids of
     the corpus."""
-    centroids = F.broadcast(
+    centroids_df = (
         emb.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     )
+    centroids = F.broadcast(centroids_df)
+    centroid_rows = [
+        (r["cid"], list(r["cv"])) for r in centroids_df.collect()
+    ]
     corpus = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    bucketed = _assign_bucket(corpus, centroids)
+    bucketed = _assign_bucket(corpus, centroid_rows)
 
     q = _queries_df(emb, n_queries, id_col, vec_col)
     # per query: the n_probes nearest centroids
