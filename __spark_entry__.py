@@ -37,8 +37,11 @@ Operator → query map (SURVEY §2 ids):
                         dedup_embedding_cosine (brute oracle),
                         dedup_embedding_lsh (sign-LSH scale path)
   similarity .......... ann_topk_bruteforce, ann_topk_ivf
-  text analysis ....... text_quality_langid, doc_fingerprint
-  multimodal .......... media_features
+  text analysis ....... text_quality_langid (incl. BPE-ish token
+                        count), doc_fingerprint
+  multimodal .......... media_features, media_resize, media_frames
+                        (mapInPandas plumbing; deterministic fake
+                        decode, full SQL oracles)
   crawl engine e2e .... crawl_replay (oracle = the pure-Python
                         reference simulator's ordered log embedded as
                         a VALUES table; full multi-round replay oracle
@@ -947,6 +950,23 @@ def sql_media_features() -> str:
     return media_features_sql()
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan (mapInPandas over binary payloads;
+    fake decode, real plumbing) — the DuckDB oracle recomputes the
+    whole plan from the sha-derived dims."""
+    from crawlspark.multimodal import docs_as_media, resize_media
+
+    return resize_media(docs_as_media(_t(spark, sf_dir, "documents")))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (one row per sampled frame, uniform
+    stride) — mapInPandas explode shape with per-frame content ids."""
+    from crawlspark.multimodal import docs_as_media, sample_frames
+
+    return sample_frames(docs_as_media(_t(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -987,11 +1007,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_langid": q_text_quality_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from crawlspark import textops as T
+    from crawlspark.multimodal import media_frames_sql, media_resize_sql
     from crawlspark.similarity import brute_force_topk_sql, ivf_topk_sql
 
     return {
@@ -1032,4 +1055,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_langid": sql_text_quality_langid(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "media_features": sql_media_features(),
+        "media_resize": media_resize_sql(),
+        "media_frames": media_frames_sql(),
     }

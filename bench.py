@@ -51,6 +51,8 @@ HEADLINE = [
     "text_quality_langid",
     "doc_fingerprint",
     "media_features",
+    "media_resize",
+    "media_frames",
 ]
 
 

@@ -102,6 +102,114 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, new_width int, new_height int"
+)
+
+FRAMES_SCHEMA = "media_id long, n_frames int, frame_idx int, frame_sha string"
+
+
+def resize_media(media: DataFrame, max_dim: int = 256, fake: bool = True) -> DataFrame:
+    """Resize planning over binary payloads (mapInPandas, narrow op):
+    decode dimensions → aspect-preserving target size capped at
+    ``max_dim``. The decode is the deterministic fake (sha-derived
+    dims); the batch plumbing, schema and the floor(w*scale) math are
+    the real contract and are recomputed by the DuckDB oracle."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            if fake:
+                dims = [fake_decode(p)[:2] for p in payloads]
+            else:  # pragma: no cover - requires codec
+                dims = [decode_image(p).shape[:2][::-1] for p in payloads]
+            out = {"media_id": pdf["media_id"], "width": [], "height": [],
+                   "new_width": [], "new_height": []}
+            for w, h in dims:
+                scale = min(1.0, max_dim / max(w, h))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(math.floor(w * scale))
+                out["new_height"].append(math.floor(h * scale))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """Video frame-sampling plumbing (mapInPandas fan-out, one output
+    row per sampled frame): 'frame count' from the fake decode
+    (sha-derived), uniform stride ceil(n/max_frames), per-frame
+    content id sha256(payload ‖ ':' ‖ idx). A real deployment swaps
+    the fake for a demuxer; the batch fan-out shape, stride math and
+    ids are the tested contract."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "n_frames": [], "frame_idx": [], "frame_sha": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(p) if p is not None else b""
+                if fake:
+                    digest = hashlib.sha256(payload).digest()
+                    n_frames = 1 + digest[2] % 60
+                else:  # pragma: no cover - requires demuxer
+                    raise NotImplementedError("frame demux requires a codec")
+                stride = math.ceil(n_frames / max_frames)
+                for idx in range(0, n_frames, stride):
+                    rows["media_id"].append(mid)
+                    rows["n_frames"].append(n_frames)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_sha"].append(
+                        hashlib.sha256(payload + f":{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
+def media_resize_sql(table: str = "documents", max_dim: int = 256) -> str:
+    """DuckDB oracle recomputing the full resize plan from the same
+    sha-derived fake dims (digest bytes 0/1 = hex chars 1-2 / 3-4)."""
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS width,
+             64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS height
+      FROM {table}
+    )
+    SELECT media_id, width, height,
+           CAST(floor(width * least(1.0, {max_dim}.0 / greatest(width, height))) AS INT)
+             AS new_width,
+           CAST(floor(height * least(1.0, {max_dim}.0 / greatest(width, height))) AS INT)
+             AS new_height
+    FROM m"""
+
+
+def media_frames_sql(table: str = "documents", max_frames: int = 8) -> str:
+    """DuckDB oracle for the frame-sampling fan-out (digest byte 2 =
+    hex chars 5-6; sha256 of text bytes ‖ ':' ‖ idx)."""
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             1 + ('0x' || substr(sha256(text), 5, 2))::INT % 60 AS n_frames
+      FROM {table}
+    ),
+    strided AS (
+      SELECT media_id, text, n_frames,
+             CAST(ceil(n_frames / {max_frames}.0) AS INT) AS stride
+      FROM m
+    )
+    SELECT media_id, n_frames,
+           CAST(unnest(range(0, n_frames, stride)) AS INT) AS frame_idx,
+           sha256(text || ':' || CAST(unnest(range(0, n_frames, stride)) AS VARCHAR))
+             AS frame_sha
+    FROM strided"""
+
+
 def media_features_sql(table: str = "documents") -> str:
     """DuckDB oracle for the SQL-expressible slice of the feature
     contract (n_bytes, sha256 of the payload)."""

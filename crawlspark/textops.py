@@ -520,6 +520,23 @@ def langid_sql(toks: str) -> tuple[str, str]:
     return expr, best
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+# marks (the GPT-2-style pre-split shape, ASCII-only so both engines'
+# regex dialects agree byte-for-byte)
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-split — the budget estimate a
+    training pipeline uses (whitespace tokens undercount punctuation-
+    heavy text)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def bpe_token_count_sql(c: str) -> str:
+    return f"len(regexp_extract_all(lower({c}), '{BPE_TOKEN_RE}'))"
+
+
 def quality_cols(text: Column, toks: Column) -> dict[str, Column]:
     """Heuristic quality signals: length, mean word length, stopword
     ratio, punctuation ratio, uppercase ratio, and a composite
@@ -544,6 +561,7 @@ def quality_cols(text: Column, toks: Column) -> dict[str, Column]:
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_tokens": n_tokens.cast("bigint"),
+        "n_bpe_tokens": bpe_token_count(text).cast("bigint"),
         "mean_word_len": F.round(mean_word_len, 4),
         "stopword_ratio": F.round(stop_ratio, 4),
         "punct_ratio": F.round(punct_ratio, 4),
@@ -569,6 +587,7 @@ def quality_sql(text: str, toks: str) -> dict[str, str]:
     return {
         "n_chars": f"{n_chars}::BIGINT",
         "n_tokens": f"{n_tokens}::BIGINT",
+        "n_bpe_tokens": f"{bpe_token_count_sql(text)}::BIGINT",
         "mean_word_len": f"round({mean_word_len}, 4)",
         "stopword_ratio": f"round({stop_ratio}, 4)",
         "punct_ratio": f"round({punct_ratio}, 4)",

@@ -63,3 +63,50 @@ def test_sql_slice_vs_duckdb(spark, media):
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG...")
+
+
+def test_resize_media_matches_pure_python(spark):
+    """Resize plan must equal the pure recompute: sha-derived dims,
+    aspect-preserving floor(w*scale) capped at max_dim."""
+    import hashlib
+    import math
+
+    from crawlspark.multimodal import docs_as_media, resize_media
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["new_width"], r["new_height"])
+        for r in resize_media(docs_as_media(docs), max_dim=256).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        d = hashlib.sha256(row["text"].encode()).digest()
+        w, h = 64 + d[0] % 192, 64 + d[1] % 192
+        sc = min(1.0, 256 / max(w, h))
+        assert got[row["doc_id"]] == (w, h, math.floor(w * sc), math.floor(h * sc))
+
+
+def test_sample_frames_fanout(spark):
+    """Frame sampling: ≤ max_frames rows per media, uniform stride,
+    deterministic per-frame content ids."""
+    import hashlib
+    import math
+
+    from crawlspark.multimodal import docs_as_media, sample_frames
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = sample_frames(docs_as_media(docs), max_frames=8).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert set(by_media) == set(texts)
+    for mid, frs in by_media.items():
+        payload = texts[mid].encode()
+        n = 1 + hashlib.sha256(payload).digest()[2] % 60
+        stride = math.ceil(n / 8)
+        want_idx = list(range(0, n, stride))
+        frs.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in frs] == want_idx
+        assert len(frs) <= 8
+        assert all(r["n_frames"] == n for r in frs)
+        assert frs[0]["frame_sha"] == hashlib.sha256(payload + b":0").hexdigest()
