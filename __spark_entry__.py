@@ -825,38 +825,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Planted near-duplicates: the raw embeddings table has NO natural
 # near-dup pairs (max pairwise cosine ≈ 0.55 at the driver SF), so an
-# unmodified dedup query passes vacuously on the empty set. Both sides
-# derive the same deterministic corpus: every 20th vector gets a
-# perturbed copy (dim 0 scaled ×1.02 + 0.002 in double) under id+100000
-# — cosine(original, copy) ≥ ~0.999, so the verified set is non-empty.
+# unmodified dedup query passes vacuously on the empty set. The single
+# corpus definition lives in crawlspark.textops (planted_embeddings /
+# planted_embeddings_sql_prelude) and is shared with the tests.
 
 def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-    dup = emb.filter(F.pmod("vec_id", F.lit(20)) == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: F.when(i == 0, x.cast("double") * 1.02 + 0.002)
-            .otherwise(x.cast("double")),
-        ).alias("embedding"),
-    )
-    return base.unionByName(dup)
+    from crawlspark.textops import planted_embeddings
 
-
-_PLANTED_SQL_PRELUDE = """planted AS (
-      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
-      FROM embeddings
-      UNION ALL
-      SELECT vec_id + 100000,
-             list_transform(range(1, len(embedding) + 1),
-               i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE * 1.02 + 0.002
-                         ELSE embedding[i]::DOUBLE END)
-      FROM embeddings WHERE vec_id % 20 = 0
-    ), """
+    return planted_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -953,10 +929,12 @@ def sql_media_features() -> str:
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plan (mapInPandas over binary payloads;
     fake decode, real plumbing) — the DuckDB oracle recomputes the
-    whole plan from the sha-derived dims."""
+    whole plan from the sha-derived dims. max_dim=128 sits INSIDE the
+    fake dim range (64..255) so the scale branch is genuinely
+    exercised, not vacuously scale=1."""
     from crawlspark.multimodal import docs_as_media, resize_media
 
-    return resize_media(docs_as_media(_t(spark, sf_dir, "documents")))
+    return resize_media(docs_as_media(_t(spark, sf_dir, "documents")), max_dim=128)
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1045,16 +1023,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": T.minhash_lsh_pairs_sql(threshold=0.5),
         "dedup_simhash": T.simhash_pairs_sql(),
         "dedup_embedding_cosine": T.embedding_dup_pairs_sql(
-            table="planted", threshold=0.95, prelude=_PLANTED_SQL_PRELUDE
+            table="planted", threshold=0.95,
+            prelude=T.planted_embeddings_sql_prelude(),
         ),
         "dedup_embedding_lsh": T.embedding_lsh_pairs_sql(
-            table="planted", threshold=0.95, prelude=_PLANTED_SQL_PRELUDE
+            table="planted", threshold=0.95,
+            prelude=T.planted_embeddings_sql_prelude(),
         ),
         "ann_topk_bruteforce": brute_force_topk_sql(n_queries=10, k=5),
         "ann_topk_ivf": ivf_topk_sql(n_queries=10, k=5),
         "text_quality_langid": sql_text_quality_langid(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "media_features": sql_media_features(),
-        "media_resize": media_resize_sql(),
+        "media_resize": media_resize_sql(max_dim=128),
         "media_frames": media_frames_sql(),
     }

@@ -39,7 +39,10 @@ def run_detail_pipeline(
     salt_shards: int = 16,
     budget: int = 1_000_000_000,
 ) -> int:
-    """One full pipeline pass; returns extracted-row count."""
+    """One full pipeline pass; returns extracted-row count. Internal
+    branch-point persists are released before returning (repeated
+    passes — warm-up + reps — must not accumulate cached frames)."""
+    owned: list[DataFrame] = []
     cand = pages.select("url").select(
         "url",
         F.lit(0).alias("disc_round"),
@@ -55,14 +58,15 @@ def run_detail_pipeline(
             pages.select("url").filter(F.crc32("url") % 5 == 0)
         ).select("url_canon")
     bloom = build_bloom(seen, n_shards=bloom_shards) if use_bloom else None
-    fresh = dedup_against_seen(cand, seen, bloom, bloom_shards)
+    fresh = dedup_against_seen(cand, seen, bloom, bloom_shards, owner=owned)
     gated = apply_robots(fresh, robots_df)
     allowed = gated.filter(F.col("allowed")).drop("allowed")
     budget_df = allowed.select("host").distinct().select(
         "host", F.lit(budget).alias("remaining")
     )
     popped = pop_per_host(
-        allowed, budget_df, salt_shards=salt_shards, default_remaining=budget
+        allowed, budget_df, salt_shards=salt_shards, default_remaining=budget,
+        owner=owned,
     ).filter(F.col("popped"))
     # fetch join: SHUFFLE_HASH on the popped side — the html-carrying
     # scan streams through unsorted (SMJ would sort the page bytes;
@@ -92,7 +96,10 @@ def run_detail_pipeline(
             "combination_text"
         ],
     )
-    return extracted.filter(F.length("out_text") >= 0).count()
+    n = extracted.filter(F.length("out_text") >= 0).count()
+    for df in owned:
+        df.unpersist()
+    return n
 
 
 def measure_throughput(

@@ -106,15 +106,18 @@ def stream_host_health(spark: SparkSession, catalog_root: str) -> DataFrame:
     signal a production crawl uses to quarantine a dying host).
 
     State is one narrow tuple per host; within each trigger the rows
-    fold in the canonical log order, so the result is deterministic
-    for any file→trigger batching that respects round order (the
-    snapshot catalog appends rounds in order). Tested against a
-    pure-Python fold of the same ordered log."""
+    fold in the canonical log order. Determinism contract: each
+    trigger must hold whole rounds — so NO maxFilesPerTrigger here
+    (a file-count split could land half a round's part files in the
+    next trigger, folding rows out of order). Each availableNow poll
+    drains everything new as one sorted batch; across polls the
+    catalog appends rounds in commit order, so poll between round
+    commits (the monitoring cadence) and the fold order is total.
+    Tested against a pure-Python fold of the same ordered log."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = (
         spark.readStream.schema(CRAWL_LOG_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
         .parquet(os.path.join(catalog_root, "crawl_log", "snap-*"))
         .withColumn(
             "phase_rank", F.when(F.col("phase") == "search", 0).otherwise(1)

@@ -212,10 +212,43 @@ class SnapshotCatalog:
                 return e
         raise FileNotFoundError(f"table {table} has no snapshot {snapshot_id}")
 
+    def _empty_from_entry(self, e: dict) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(e["schema"]))
+        return self.spark.createDataFrame([], schema)
+
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
         e = self._entry(table, snapshot_id)
         tdir = os.path.join(self.root, table)
-        dirs = list(e.get("buckets", {}).values()) or e["dirs"]
+        if "buckets" in e:
+            dirs = list(e["buckets"].values())
+            if not dirs:  # bucketed snapshot that merged to empty
+                return self._empty_from_entry(e)
+        else:
+            dirs = e["dirs"]
+        return self.spark.read.parquet(*[os.path.join(tdir, d) for d in dirs])
+
+    def read_buckets(
+        self, table: str, round_no: int, buckets: list[int]
+    ) -> DataFrame | None:
+        """O(touched) bucket read: only the requested buckets' data
+        dirs are scanned (the file-pruning half of the bucketed MERGE
+        — filtering a full-table read on a recomputed bucket column
+        would scan every file). None if no snapshot ≤ round_no."""
+        candidates = [
+            e
+            for e in self.history(table)
+            if e["round"] is not None and e["round"] <= round_no
+        ]
+        if not candidates:
+            return None
+        e = candidates[-1]
+        bmap = e.get("buckets") or {}
+        dirs = [bmap[str(b)] for b in buckets if str(b) in bmap]
+        if not dirs:
+            return self._empty_from_entry(e)
+        tdir = os.path.join(self.root, table)
         return self.spark.read.parquet(*[os.path.join(tdir, d) for d in dirs])
 
     def read_as_of_round(self, table: str, round_no: int) -> DataFrame | None:

@@ -677,6 +677,50 @@ def embedding_dup_pairs_sql(
     WHERE round({cos}, 6) >= {threshold}"""
 
 
+# Planted near-duplicate corpus — the single definition shared by the
+# driver queries, the DuckDB preludes and the tests (the raw
+# embeddings table has no natural near-dup pairs, so dedup gates would
+# pass vacuously on the empty set without it): every 20th vector gets
+# a perturbed copy (dim 0 scaled ×1.02 + 0.002 in double) under
+# id+100000 — cosine(original, copy) ≥ ~0.999.
+
+PLANT_STRIDE = 20
+PLANT_ID_OFFSET = 100000
+
+
+def planted_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
+    )
+    dup = emb.filter(F.pmod(id_col, F.lit(PLANT_STRIDE)) == 0).select(
+        (F.col(id_col) + PLANT_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: F.when(i == 0, x.cast("double") * 1.02 + 0.002)
+            .otherwise(x.cast("double")),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dup)
+
+
+def planted_embeddings_sql_prelude(table: str = "embeddings") -> str:
+    """CTE prelude (trailing comma included) defining ``planted`` for
+    the *_pairs_sql twins."""
+    return f"""planted AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+      FROM {table}
+      UNION ALL
+      SELECT vec_id + {PLANT_ID_OFFSET},
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE * 1.02 + 0.002
+                         ELSE embedding[i]::DOUBLE END)
+      FROM {table} WHERE vec_id % {PLANT_STRIDE} = 0
+    ), """
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane (sign) LSH for embedding-cosine dedup — the
 # bucketed 100 TB path (Charikar, STOC 2002: P[sign bits agree] =

@@ -245,31 +245,47 @@ def merge_round(
     # offline MERGE INTO (untouched buckets keep their immutable files;
     # at 10^10 rows this is the difference between an O(delta) commit
     # and rewriting the whole table every round, docs/SCALE.md).
-    rows = rows.withColumn("_bucket", natural_key_bucket(n_buckets))
+    # rows feed two actions (touched-bucket collection + the bucketed
+    # write) — persist so the parse/join/id chain runs once
+    from pyspark import StorageLevel
+
+    rows = rows.withColumn("_bucket", natural_key_bucket(n_buckets)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     touched = sorted(
         r["_bucket"] for r in rows.select("_bucket").distinct().collect()
     )
     existing = None
     if catalog.exists("job_metadata"):
-        existing = catalog.read_as_of_round("job_metadata", rnd - 1)
-    if existing is not None:
-        existing = existing.withColumn("_bucket", natural_key_bucket(n_buckets))
         if catalog.is_bucketed_as_of("job_metadata", rnd - 1):
-            existing = existing.filter(F.col("_bucket").isin(touched))
+            # O(touched) read: ONLY the touched buckets' files are
+            # scanned (catalog-level dir pruning — a bucket filter on
+            # a full read would still scan every file)
+            existing = catalog.read_buckets("job_metadata", rnd - 1, touched)
+            if existing is not None:
+                existing = existing.withColumn(
+                    "_bucket", natural_key_bucket(n_buckets)
+                )
         else:
             # one-time migration from an unbucketed snapshot: full
             # rewrite, every populated bucket is touched
-            touched = sorted(
-                set(touched)
-                | {
-                    r["_bucket"]
-                    for r in existing.select("_bucket").distinct().collect()
-                }
-            )
+            existing = catalog.read_as_of_round("job_metadata", rnd - 1)
+            if existing is not None:
+                existing = existing.withColumn(
+                    "_bucket", natural_key_bucket(n_buckets)
+                )
+                touched = sorted(
+                    set(touched)
+                    | {
+                        r["_bucket"]
+                        for r in existing.select("_bucket").distinct().collect()
+                    }
+                )
     merged = merge_job_metadata(existing, rows).drop("job_idx")
     catalog.write_bucketed(
         "job_metadata", merged, touched, round_no=rnd, base_round=rnd - 1
     )
+    rows.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,8 @@ def test_real_decode_is_explicitly_stubbed():
 
 def test_resize_media_matches_pure_python(spark):
     """Resize plan must equal the pure recompute: sha-derived dims,
-    aspect-preserving floor(w*scale) capped at max_dim."""
+    aspect-preserving floor(w*scale) capped at max_dim=128 (inside the
+    fake dim range, so the scale branch genuinely fires)."""
     import hashlib
     import math
 
@@ -76,13 +77,15 @@ def test_resize_media_matches_pure_python(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     got = {
         r["media_id"]: (r["width"], r["height"], r["new_width"], r["new_height"])
-        for r in resize_media(docs_as_media(docs), max_dim=256).collect()
+        for r in resize_media(docs_as_media(docs), max_dim=128).collect()
     }
     for row in docs.select("doc_id", "text").collect():
         d = hashlib.sha256(row["text"].encode()).digest()
         w, h = 64 + d[0] % 192, 64 + d[1] % 192
-        sc = min(1.0, 256 / max(w, h))
+        sc = min(1.0, 128 / max(w, h))
         assert got[row["doc_id"]] == (w, h, math.floor(w * sc), math.floor(h * sc))
+    # the cap branch must actually fire for some rows (non-vacuous)
+    assert any(nw < w for w, h, nw, nh in got.values())
 
 
 def test_sample_frames_fanout(spark):

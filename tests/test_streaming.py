@@ -75,13 +75,15 @@ def test_stream_host_health_stateful(spark, cat4, tmp_path):
     ST.run_available_now(
         out, "health", str(tmp_path / "ckpt3"), output_mode="update"
     )
-    # update mode emits one row per host per trigger; keep the last
-    import pandas as pd
-
+    # update mode emits one row per host per trigger; the final state
+    # is the row with the highest total (collect order across batches
+    # is NOT guaranteed — don't rely on it)
     rows = spark.sql("SELECT * FROM health").collect()
     got = {}
-    for r in rows:  # memory sink appends in trigger order
-        got[r["host"]] = (r["total"], r["failures"], r["fail_streak"])
+    for r in rows:
+        cur = got.get(r["host"])
+        if cur is None or r["total"] > cur[0]:
+            got[r["host"]] = (r["total"], r["failures"], r["fail_streak"])
 
     raw = (
         spark.read.schema(ST.CRAWL_LOG_SCHEMA)

@@ -247,20 +247,10 @@ def test_embedding_dups_vs_duckdb(spark):
 
 
 def _planted_emb(spark):
-    """Embeddings plus perturbed near-dup copies (cos ≥ ~0.999)."""
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    base = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    """Shared planted-near-dup corpus (single definition in textops)."""
+    return T.planted_embeddings(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     )
-    dup = emb.filter(F.pmod("vec_id", F.lit(20)) == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: F.when(i == 0, x.cast("double") * 1.02 + 0.002)
-            .otherwise(x.cast("double")),
-        ).alias("embedding"),
-    )
-    return base.unionByName(dup)
 
 
 def test_embedding_lsh_recall_and_precision(spark):
@@ -279,7 +269,7 @@ def test_embedding_lsh_recall_and_precision(spark):
     assert brute, "fixture must contain planted near-dups (non-vacuous)"
     assert lsh <= brute  # exact verify ⇒ no false positives
     assert len(lsh & brute) / len(brute) >= 0.9  # near-dup recall
-    expected = {(i, i + 100000) for i in range(0, 500, 20)}
+    expected = {(i, i + T.PLANT_ID_OFFSET) for i in range(0, 500, T.PLANT_STRIDE)}
     assert expected <= brute
 
 
@@ -290,16 +280,7 @@ def test_embedding_lsh_vs_duckdb(spark):
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
     )
-    planted_sql = """planted AS (
-      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
-      FROM embeddings
-      UNION ALL
-      SELECT vec_id + 100000,
-             list_transform(range(1, len(embedding) + 1),
-               i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE * 1.02 + 0.002
-                         ELSE embedding[i]::DOUBLE END)
-      FROM embeddings WHERE vec_id % 20 = 0
-    ), """
+    planted_sql = T.planted_embeddings_sql_prelude()
     _cmp(
         T.embedding_lsh_pairs(_planted_emb(spark), threshold=0.95),
         con,
