@@ -32,6 +32,8 @@ Operator → query map (SURVEY §2 ids):
   sessionization ...... sessionize
   lag/lead windows .... lag_delta
   distinct agg ........ distinct_agg
+  as-of join .......... asof_join_events (union + last-ignore-nulls
+                        window; oracle = DuckDB native ASOF JOIN)
   dedup family ........ dedup_exact, dedup_ngram_jaccard,
                         dedup_minhash_lsh, dedup_simhash,
                         dedup_embedding_cosine (brute oracle),
@@ -486,6 +488,38 @@ def sql_desc_extract() -> str:
            CAST(({mn}) AS INT) AS min_salary,
            CAST(({mx}) AS INT) AS max_salary
     FROM p"""
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: every event gets the latest
+    purchase value of the same user at-or-before its timestamp —
+    union + last-ignore-nulls window construction (one keyed shuffle,
+    no candidate explosion); oracle = DuckDB's native ASOF JOIN.
+    The right side is pre-aggregated to unique (user_id, ts) so the
+    match is total and deterministic."""
+    from crawlspark.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("px"))
+    )
+    return asof_join(left, right, on="user_id", ts="ts", value_cols=["px"])
+
+
+def sql_asof_join_events() -> str:
+    from crawlspark.joins import asof_join_sql
+
+    return asof_join_sql(
+        "SELECT user_id, ts, event_id FROM events",
+        "SELECT user_id, ts, max(value) AS px FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts",
+        on="user_id",
+        value_cols=["px"],
+        left_cols=["event_id"],
+    )
 
 
 def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_enrichment": q_role_enrichment,
         "salary_validation": q_salary_validation,
         "desc_extract": q_desc_extract,
+        "asof_join_events": q_asof_join_events,
         "upsert_latest": q_upsert_latest,
         "topk_per_group": q_topk_per_group,
         "props_extract": q_props_extract,
@@ -1006,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         "role_enrichment": sql_role_enrichment(),
         "salary_validation": sql_salary_validation(),
         "desc_extract": sql_desc_extract(),
+        "asof_join_events": sql_asof_join_events(),
         "upsert_latest": sql_upsert_latest(),
         "topk_per_group": sql_topk_per_group(),
         "props_extract": sql_props_extract(),

@@ -30,6 +30,7 @@ HEADLINE = [
     "role_enrichment",
     "salary_validation",
     "desc_extract",
+    "asof_join_events",
     "upsert_latest",
     "topk_per_group",
     "windowed_events",
