@@ -522,6 +522,53 @@ def sql_asof_join_events() -> str:
     )
 
 
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via bin-bucketed equi-join (no
+    broadcast-nested-loop): purchase-event values against ranges
+    synthesized from part, aggregated per range. The oracle is the
+    plain theta join — small-scale ground truth for the binned plan."""
+    from crawlspark.joins import range_join_binned
+
+    points = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("value").alias("v"))
+    )
+    ranges = (
+        _t(spark, sf_dir, "part")
+        .filter(F.pmod("p_partkey", F.lit(10)) == 0)
+        .select(
+            F.col("p_partkey").alias("range_id"),
+            F.pmod(F.col("p_partkey") * 7, F.lit(480)).cast("double").alias("lo"),
+            (
+                F.pmod(F.col("p_partkey") * 7, F.lit(480))
+                + F.pmod("p_partkey", F.lit(20)) + 1
+            ).cast("double").alias("hi"),
+        )
+    )
+    return (
+        range_join_binned(points, ranges)
+        .groupBy("range_id")
+        .agg(F.count("*").alias("n_points"), F.min("event_id").alias("min_event"))
+    )
+
+
+def sql_range_join_events() -> str:
+    return """
+    WITH p AS (
+      SELECT event_id, value AS v FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT p_partkey AS range_id,
+             CAST((p_partkey * 7) % 480 AS DOUBLE) AS lo,
+             CAST((p_partkey * 7) % 480 + p_partkey % 20 + 1 AS DOUBLE) AS hi
+      FROM part WHERE p_partkey % 10 = 0
+    )
+    SELECT r.range_id, count(*) AS n_points, min(p.event_id) AS min_event
+    FROM p JOIN r ON p.v >= r.lo AND p.v <= r.hi
+    GROUP BY r.range_id"""
+
+
 def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 natural-key upsert as window dedup: latest (ts, event_id)
     wins per (user_id, event_type) — the offline MERGE INTO."""
@@ -997,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salary_validation": q_salary_validation,
         "desc_extract": q_desc_extract,
         "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
         "upsert_latest": q_upsert_latest,
         "topk_per_group": q_topk_per_group,
         "props_extract": q_props_extract,
@@ -1042,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "salary_validation": sql_salary_validation(),
         "desc_extract": sql_desc_extract(),
         "asof_join_events": sql_asof_join_events(),
+        "range_join_events": sql_range_join_events(),
         "upsert_latest": sql_upsert_latest(),
         "topk_per_group": sql_topk_per_group(),
         "props_extract": sql_props_extract(),

@@ -31,6 +31,7 @@ HEADLINE = [
     "salary_validation",
     "desc_extract",
     "asof_join_events",
+    "range_join_events",
     "upsert_latest",
     "topk_per_group",
     "windowed_events",

@@ -96,3 +96,37 @@ def asof_join_sql(
     WITH l AS ({left_sql}), r AS ({right_sql})
     SELECT {left_sel}, {value_sel}
     FROM l ASOF LEFT JOIN r ON l.{on} = r.{on} AND l.{ts} >= r.{ts}"""
+
+
+def range_join_binned(
+    points: DataFrame,
+    ranges: DataFrame,
+    v: str = "v",
+    lo: str = "lo",
+    hi: str = "hi",
+    bin_width: float = 16.0,
+) -> DataFrame:
+    """Interval-containment join (point v ∈ [lo, hi]) without the
+    O(|P|·|R|) broadcast-nested-loop a raw theta join plans: both
+    sides bin by floor(x / bin_width) — points to their single bin,
+    ranges exploded over the bins they span — then an EQUI-join on the
+    bin plus the exact containment filter. Each qualifying (point,
+    range) pair meets in exactly one bin (the point's), so no dedup
+    stage is needed. Cost scales with Σ range-width/bin_width + |P|,
+    shuffled on uniform integer bins; pick bin_width ≈ median range
+    width so ranges explode to O(1) bins each."""
+    pb = points.withColumn("_bin", F.floor(F.col(v) / bin_width))
+    rb = ranges.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bin_width).cast("bigint"),
+                F.floor(F.col(hi) / bin_width).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        pb.join(rb, "_bin")
+        .filter((F.col(v) >= F.col(lo)) & (F.col(v) <= F.col(hi)))
+        .drop("_bin")
+    )

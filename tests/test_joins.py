@@ -66,3 +66,30 @@ def test_asof_vs_duckdb_native(spark):
     want = sorted(tuple(row) for row in con.execute(sql).fetchall())
     assert got == want
     assert len(got) > 0
+
+
+def test_range_join_binned_equals_theta(spark):
+    """The binned range join must equal the brute-force theta join on
+    crafted intervals including bin-boundary values."""
+    from crawlspark.joins import range_join_binned
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100, 3)], "pid long, v double"
+    )
+    ranges = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 10.0, 16.0), (3, 15.0, 64.0), (4, 90.0, 99.0),
+         (5, 200.0, 210.0)],  # no matches
+        "range_id long, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["range_id"])
+        for r in range_join_binned(points, ranges, bin_width=16.0).collect()
+    }
+    want = {
+        (p, rid)
+        for p in range(0, 100, 3)
+        for rid, lo, hi in [(1, 0, 10), (2, 10, 16), (3, 15, 64), (4, 90, 99)]
+        if lo <= p <= hi
+    }
+    assert got == want
+    assert (0, 1) in got and (96, 4) in got  # boundary containment
