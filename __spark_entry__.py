@@ -34,6 +34,8 @@ Operator → query map (SURVEY §2 ids):
   distinct agg ........ distinct_agg
   as-of join .......... asof_join_events (union + last-ignore-nulls
                         window; oracle = DuckDB native ASOF JOIN)
+  range join .......... range_join_events (bin-bucketed equi-join,
+                        no BNL; oracle = plain theta join)
   dedup family ........ dedup_exact, dedup_ngram_jaccard,
                         dedup_minhash_lsh, dedup_simhash,
                         dedup_embedding_cosine (brute oracle),

@@ -91,6 +91,36 @@ def stream_events(
     )
 
 
+def stream_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation (gap-based session close
+    — the streaming twin of the batch ``sessionize`` driver query's
+    semantics): per (user, session) event counts and bounds. Late
+    events beyond the watermark drop; sessions merge as the gap
+    dictates. Tested with availableNow against the batch
+    ``session_window`` aggregation (identical semantics by contract)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 HEALTH_OUT_SCHEMA = "host string, total long, failures long, fail_streak long"
 HEALTH_STATE_SCHEMA = "total long, failures long, streak long"
 

@@ -110,3 +110,28 @@ def test_stream_host_health_stateful(spark, cat4, tmp_path):
     assert got == want
     assert len(got) > 0
     assert sum(f for _, f, _ in got.values()) > 0, "fixture has dead links"
+
+
+def test_stream_sessions_equals_batch(spark, tmp_path):
+    """Session-window streaming agg (availableNow drain) must equal the
+    batch session_window aggregation on the same files."""
+    src_dir = str(tmp_path / "events_sess")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(4).write.parquet(src_dir)
+
+    out = ST.stream_sessions(spark, src_dir)
+    ST.run_available_now(out, "sess_agg", str(tmp_path / "ckpt_sess"))
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_agg").collect()
+    )
+    batch = (
+        spark.read.parquet(src_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    want = sorted(
+        (r["user_id"], r["w"]["start"], r["w"]["end"], r["n"])
+        for r in batch.collect()
+    )
+    assert got == want
+    assert len(got) > 0
