@@ -32,6 +32,8 @@ Operator → query map (SURVEY §2 ids):
   sessionization ...... sessionize
   lag/lead windows .... lag_delta
   distinct agg ........ distinct_agg
+  percentiles ......... percentile_stats (exact interpolated ≡
+                        DuckDB quantile_cont)
   as-of join .......... asof_join_events (union + last-ignore-nulls
                         window; oracle = DuckDB native ASOF JOIN)
   range join .......... range_join_events (bin-bucketed equi-join,
@@ -862,6 +864,30 @@ def sql_lag_delta() -> str:
     FROM events"""
 
 
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont` — same linear-interpolation definition, so
+    the twin is value-exact at 6 dp). The latency/size-distribution
+    dashboard shape; at scale swap in approx_percentile with the same
+    plan and a documented error bound."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def sql_percentile_stats() -> str:
+    return """
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type"""
+
+
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation per group (two-phase under the hood)."""
     ev = _t(spark, sf_dir, "events")
@@ -1059,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "lag_delta": q_lag_delta,
         "distinct_agg": q_distinct_agg,
+        "percentile_stats": q_percentile_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1105,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sql_sessionize(),
         "lag_delta": sql_lag_delta(),
         "distinct_agg": sql_distinct_agg(),
+        "percentile_stats": sql_percentile_stats(),
         "dedup_exact": T.exact_dedup_sql(),
         "dedup_ngram_jaccard": T.ngram_jaccard_pairs_sql(threshold=0.5),
         "dedup_minhash_lsh": T.minhash_lsh_pairs_sql(threshold=0.5),

@@ -39,6 +39,7 @@ HEADLINE = [
     "sessionize",
     "lag_delta",
     "distinct_agg",
+    "percentile_stats",
     "props_extract",
     "agg_pricing_summary",
     "join_orders_customer",
