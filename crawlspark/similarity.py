@@ -117,16 +117,48 @@ def _assign_bucket(corpus: DataFrame, centroid_rows: list) -> DataFrame:
     toward the larger cid (== max(struct(s, cid)) semantics, matching
     the SQL twin). Centroids are driver-small by construction
     (n_centroids × dim floats)."""
+    import math
+
+    # the row norm is the same for every centroid — compute it ONCE per
+    # row in a projection; centroid norms are Python constants (the
+    # same sequential double fold as the Column version, so the cosine
+    # is IEEE-identical to cosine())
+    na = F.sqrt(
+        F.aggregate(
+            F.col("nv"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    with_norm = corpus.select("nid", "nv", na.alias("_na"))
     cands = []
     for cid, vec in centroid_rows:
         cv = F.array(*[F.lit(float(x)) for x in vec])
-        s = F.round(cosine(F.col("nv"), cv), 9)
+        nb = math.sqrt(_seq_sumsq(vec))
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("nv"), cv, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        s = F.round(dot / (F.col("_na") * F.lit(nb)), 9)
         cands.append(F.struct(s.alias("s"), F.lit(int(cid)).alias("cid")))
     # array_max orders structs lexicographically: highest sim, then
     # highest cid — a linear expression (an iterated when() would nest
     # prior branches exponentially and blow the expression tree)
     best = F.array_max(F.array(*cands))
-    return corpus.select("nid", "nv", best["cid"].alias("bucket"))
+    return with_norm.select("nid", "nv", best["cid"].alias("bucket"))
+
+
+def _seq_sumsq(vec: list) -> float:
+    """Sequential left-fold sum of squares — the exact add order of
+    the Column-side F.aggregate, so the constant norm is bit-identical
+    to what cosine() would compute."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return acc
 
 
 def ivf_topk(
