@@ -28,7 +28,9 @@ Operator → query map (SURVEY §2 ids):
   top-k ............... topk_per_group
   time windows ........ windowed_events (batch twin of
                         crawlspark.streaming.stream_events)
-  grouping sets ....... rollup_revenue
+  grouping sets ....... rollup_revenue, cube_revenue
+  set ops ............. set_ops (INTERSECT/EXCEPT cohorts)
+  pivot ............... pivot_events (explicit category list)
   sessionization ...... sessionize
   lag/lead windows .... lag_delta
   distinct agg ........ distinct_agg
@@ -802,6 +804,71 @@ def sql_rollup_revenue() -> str:
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four combinations of the two dims) —
+    the full-materialization sibling of rollup_revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").alias("revenue"),
+    )
+
+
+def sql_cube_revenue() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (the reference has only Python
+    set.difference — SURVEY §2.6): users who purchased but never
+    errored, and users who did both, labeled and unioned."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    only_buy = buyers.exceptAll(erring).withColumn("cohort", F.lit("buy_only"))
+    both = buyers.intersect(erring).withColumn("cohort", F.lit("both"))
+    return only_buy.unionByName(both)
+
+
+def sql_set_ops() -> str:
+    return """
+    WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    erring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT user_id, 'buy_only' AS cohort FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM erring)
+    UNION ALL
+    SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM erring)"""
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "error"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user counts per event type as columns —
+    Spark's pivot with an explicit category list (never let pivot
+    discover categories at scale: that is an extra full pass)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count("event_id"))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+def sql_pivot_events() -> str:
+    cols = ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+    )
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session):
     lag + cumulative boundary sum per user — the standard corpus/user
@@ -1082,6 +1149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_per_day": q_postings_per_day,
         "windowed_events": q_windowed_events,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "set_ops": q_set_ops,
+        "pivot_events": q_pivot_events,
         "sessionize": q_sessionize,
         "lag_delta": q_lag_delta,
         "distinct_agg": q_distinct_agg,
@@ -1129,6 +1199,9 @@ def oracle_sql() -> dict[str, str]:
         "postings_per_day": sql_postings_per_day(),
         "windowed_events": sql_windowed_events(),
         "rollup_revenue": sql_rollup_revenue(),
+        "cube_revenue": sql_cube_revenue(),
+        "set_ops": sql_set_ops(),
+        "pivot_events": sql_pivot_events(),
         "sessionize": sql_sessionize(),
         "lag_delta": sql_lag_delta(),
         "distinct_agg": sql_distinct_agg(),

@@ -36,6 +36,9 @@ HEADLINE = [
     "topk_per_group",
     "windowed_events",
     "rollup_revenue",
+    "cube_revenue",
+    "set_ops",
+    "pivot_events",
     "sessionize",
     "lag_delta",
     "distinct_agg",
