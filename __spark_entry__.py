@@ -43,10 +43,13 @@ Operator → query map (SURVEY §2 ids):
   dedup family ........ dedup_exact, dedup_ngram_jaccard,
                         dedup_minhash_lsh, dedup_simhash,
                         dedup_embedding_cosine (brute oracle),
-                        dedup_embedding_lsh (sign-LSH scale path)
+                        dedup_embedding_lsh (sign-LSH scale path),
+                        dedup_clusters (connected components /
+                        min-label propagation; recursive-CTE oracle)
   similarity .......... ann_topk_bruteforce, ann_topk_ivf
   text analysis ....... text_quality_langid (incl. BPE-ish token
-                        count), doc_fingerprint
+                        count), doc_fingerprint, winnow_fingerprint
+                        (rolling-hash winnowing, SIGMOD 2003)
   multimodal .......... media_features, media_resize, media_frames
                         (mapInPandas plumbing; deterministic fake
                         decode, full SQL oracles)
@@ -1086,6 +1089,32 @@ def sql_doc_fingerprint() -> str:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup graph: every doc
+    labeled with the min doc_id of its dup cluster (the keep-one-
+    representative step). Iterative min-label propagation with early
+    stop; oracle = DuckDB recursive CTE over the same verified pairs."""
+    from crawlspark.textops import dup_clusters, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_clusters(docs, minhash_lsh_pairs(docs, threshold=0.5))
+
+
+def sql_dedup_clusters() -> str:
+    from crawlspark.textops import dup_clusters_sql, minhash_lsh_pairs_sql
+
+    return dup_clusters_sql(minhash_lsh_pairs_sql(threshold=0.5))
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: polynomial k-gram hashes
+    + per-window minima (Schleimer/Wilkerson/Aiken, SIGMOD 2003) —
+    any shared run of ≥ w+k-1 tokens yields a shared fingerprint."""
+    from crawlspark.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal mapInPandas feature extraction; the SQL-comparable
     slice (byte count + content hash) is returned, the fake-decoded
@@ -1162,10 +1191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_quality_langid": q_text_quality_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
@@ -1218,10 +1249,12 @@ def oracle_sql() -> dict[str, str]:
             table="planted", threshold=0.95,
             prelude=T.planted_embeddings_sql_prelude(),
         ),
+        "dedup_clusters": sql_dedup_clusters(),
         "ann_topk_bruteforce": brute_force_topk_sql(n_queries=10, k=5),
         "ann_topk_ivf": ivf_topk_sql(n_queries=10, k=5),
         "text_quality_langid": sql_text_quality_langid(),
         "doc_fingerprint": sql_doc_fingerprint(),
+        "winnow_fingerprint": T.winnow_fingerprints_sql(),
         "media_features": sql_media_features(),
         "media_resize": media_resize_sql(max_dim=128),
         "media_frames": media_frames_sql(),

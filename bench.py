@@ -52,10 +52,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "dedup_clusters",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "text_quality_langid",
     "doc_fingerprint",
+    "winnow_fingerprint",
     "media_features",
     "media_resize",
     "media_frames",

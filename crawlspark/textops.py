@@ -870,3 +870,183 @@ def embedding_lsh_pairs_sql(
     JOIN s sa ON sa.vid = c.id_a
     JOIN s sb ON sb.vid = c.id_b
     WHERE round({cos}, 6) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD 2003): polynomial
+# k-gram hashes + the minimum of every w-window — guarantees any
+# shared substring of length ≥ w+k-1 tokens yields a shared
+# fingerprint. Base-131 polynomial over 32-bit token hashes stays
+# < 2^55: exact in BIGINT on both engines, no modular reduction needed.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4   # tokens per k-gram
+WINNOW_W = 5   # k-gram hashes per winnow window
+WINNOW_BASE = 131
+
+
+def _token_hash32(tok: Column) -> Column:
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp) — the distinct winnowed fingerprints per doc,
+    exploded. Per-row expressions only (materialize token hashes once,
+    then array ops); no shuffle until the caller aggregates."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens_col(F.col(text_col)), _token_hash32).alias("th"),
+    )
+    n = F.size("th")
+    kgram = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: sum(
+            (F.element_at(F.col("th"), (i + j).cast("int")) * (WINNOW_BASE ** j)
+             for j in range(1, k)),
+            F.element_at(F.col("th"), i.cast("int")),
+        ),
+    )
+    # docs shorter than k tokens: single degenerate k-gram over what
+    # exists is NOT well-defined with element_at OOB → guard: hash of
+    # the whole token array joined
+    whole = F.array(
+        _token_hash32(
+            F.concat_ws(
+                " ", F.transform(F.col("th"), lambda x: x.cast("string"))
+            )
+        )
+    )
+    kg = F.when(n >= k, kgram).otherwise(whole)
+    with_kg = hashed.select("doc_id", kg.alias("kg"))
+    m = F.size("kg")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+        lambda p: F.array_min(F.slice(F.col("kg"), p, w)),
+    )
+    fps = F.array_distinct(F.when(m >= w, wins).otherwise(F.array(F.array_min("kg"))))
+    return with_kg.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnow_fingerprints_sql(
+    table: str = "documents",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    th = (
+        f"list_transform({tokens_sql(text_col)}, "
+        "t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    )
+    poly = " + ".join(
+        f"th[i + {j}] * {WINNOW_BASE ** j}" if j else "th[i]"
+        for j in range(k)
+    )
+    whole = (
+        "[('0x' || substr(md5(array_to_string(th, ' ')), 1, 8))::BIGINT]"
+    )
+    return f"""
+    WITH h AS (SELECT {id_col} AS doc_id, {th} AS th FROM {table}),
+    kgr AS (
+      SELECT doc_id,
+             CASE WHEN len(th) >= {k}
+                  THEN list_transform(range(1, greatest(len(th) - {k} + 1, 1) + 1),
+                                      i -> {poly})
+                  ELSE {whole} END AS kg
+      FROM h
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(kg) >= {w}
+                  THEN list_transform(range(1, greatest(len(kg) - {w} + 1, 1) + 1),
+                                      p -> list_min(kg[p:p + {w} - 1]))
+                  ELSE [list_min(kg)] END) AS fps
+      FROM kgr
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wins"""
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: connected components over the near-dup pair graph,
+# assigning every doc the minimum doc_id reachable through dup edges —
+# the "keep one representative per near-dup cluster" step a corpus
+# pipeline runs after pair generation. Iterative min-label propagation
+# (the Pregel/GraphX connected-components recurrence) with a
+# driver-coordinated early-stop; the DuckDB twin is a recursive CTE.
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(doc_id, cluster): cluster = min doc_id in the doc's connected
+    component of the (id_a, id_b) dup graph; isolated docs are their
+    own cluster. Each iteration is one join + one min-agg (shuffles on
+    the id key); iterations needed = component diameter, and the loop
+    stops early when no label changes. At 10^10 docs this is the
+    standard large-star/small-star regime — same recurrence, fewer
+    rounds; diameters of near-dup clusters are small in practice."""
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+    )
+    prev_persisted = None
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
+
+
+def dup_clusters_sql(
+    edges_sql: str, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """Recursive-CTE twin: min label over the transitive closure.
+    ``edges_sql`` is any SELECT producing (id_a, id_b) — e.g. a
+    *_pairs_sql query (nested WITH is legal in a CTE body)."""
+    return f"""
+    WITH RECURSIVE edges AS ({edges_sql}),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM edges
+    ),
+    reach(id, label) AS (
+      SELECT {id_col}, CAST({id_col} AS BIGINT) FROM {table}
+      UNION
+      SELECT sym.d, reach.label FROM reach JOIN sym ON sym.s = reach.id
+    )
+    SELECT id AS {id_col}, min(label) AS cluster FROM reach GROUP BY id"""

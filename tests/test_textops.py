@@ -289,3 +289,58 @@ def test_embedding_lsh_vs_duckdb(spark):
         ),
         ["id_a", "id_b", "cos"],
     )
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing property (SIGMOD 2003): two docs sharing a token run
+    of length >= w + k - 1 must share at least one fingerprint; docs
+    with no token overlap share none."""
+    w, k = T.WINNOW_W, T.WINNOW_K
+    shared = " ".join(f"s{i}" for i in range(w + k - 1))
+    rows = [
+        (1, "alpha beta gamma " + shared + " delta epsilon zeta"),
+        (2, "one two three four " + shared + " five six seven"),
+        (3, "totally disjoint vocabulary here nothing matches at all ever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in T.winnow_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_vs_duckdb(spark, docs):
+    con = _duck([("documents", docs.toPandas())])
+    _cmp(
+        T.winnow_fingerprints(docs),
+        con,
+        T.winnow_fingerprints_sql(),
+        ["doc_id", "fp"],
+    )
+
+
+def test_dup_clusters_multihop(spark):
+    """Transitive clustering: a-b and b-c edges put a,b,c in one
+    cluster labeled min(a); isolated docs label themselves."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in T.dup_clusters(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 9: 4}
+
+
+def test_dup_clusters_vs_duckdb(spark, docs):
+    con = _duck([("documents", docs.toPandas())])
+    _cmp(
+        T.dup_clusters(docs, T.minhash_lsh_pairs(docs, threshold=0.5)),
+        con,
+        T.dup_clusters_sql(T.minhash_lsh_pairs_sql(threshold=0.5)),
+        ["doc_id", "cluster"],
+    )
