@@ -450,6 +450,12 @@ _DESC_SQL = (
     "WHEN 0 THEN ' pay $' || (80 + p_partkey % 60) || 'k - $' || (160 + p_partkey % 80) || 'k' "
     "WHEN 1 THEN ' salary $' || (70000 + (p_partkey * 7) % 90000) "
     "WHEN 2 THEN ' circa $' || (90 + p_partkey % 40) || 'k' "
+    "ELSE '' END || "
+    "CASE (p_partkey % 5) "
+    "WHEN 0 THEN ' requires ' || (2 + p_partkey % 9) || '+ years experience' "
+    "WHEN 1 THEN ' minimum ' || (1 + p_partkey % 6) || ' years experience' "
+    "WHEN 2 THEN ' visa sponsorship available' "
+    "WHEN 3 THEN ' full working rights required' "
     "ELSE '' END"
 )
 
@@ -459,8 +465,10 @@ def q_desc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex extraction over a job-description text (the LLM-agent output
     fields, replayable), through the faithful C10 validation chain."""
     from crawlspark.functions import (
+        extract_experience,
         extract_salary_fields,
         extract_skills,
+        extract_working_right,
         normalize_skills,
         salary_exprs,
     )
@@ -475,13 +483,19 @@ def q_desc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         mn.cast("int").alias("min_salary"),
         mx.cast("int").alias("max_salary"),
+        F.coalesce(extract_experience(F.col("text")), F.lit(-1)).alias(
+            "n_experience"
+        ),
+        extract_working_right(F.col("text")).alias("is_working_right"),
     )
 
 
 def sql_desc_extract() -> str:
     from crawlspark.functions import (
+        extract_experience_sql,
         extract_salary_sql,
         extract_skills_sql,
+        extract_working_right_sql,
         salary_sql,
     )
 
@@ -495,7 +509,9 @@ def sql_desc_extract() -> str:
     WITH p AS (SELECT p_partkey, {_DESC_SQL} AS text FROM part)
     SELECT p_partkey, {skills} AS skills_csv,
            CAST(({mn}) AS INT) AS min_salary,
-           CAST(({mx}) AS INT) AS max_salary
+           CAST(({mx}) AS INT) AS max_salary,
+           COALESCE({extract_experience_sql('text')}, -1) AS n_experience,
+           {extract_working_right_sql('text')} AS is_working_right
     FROM p"""
 
 
@@ -866,8 +882,12 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_pivot_events() -> str:
+    # count(event_id), not count(*): the Spark side's pivot agg is
+    # F.count('event_id'), which skips NULL event_id — both engines
+    # must count rows identically on nullable input (ADVICE r2)
     cols = ", ".join(
-        f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+        f"count(event_id) FILTER (event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES
     )
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
 
@@ -1045,6 +1065,55 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING driver surface (VERDICT r2 #7): the session-window
+    streaming aggregation drained with Trigger.AvailableNow into a
+    memory sink (complete mode — every session in state is emitted)
+    over the events parquet. The oracle is a batch DuckDB sessionize:
+    Spark session windows open a NEW session when the gap to the
+    previous event is >= the 30-min gap (windows are [start, end)), so
+    the twin's boundary predicate is ``gap >= 1800``; session_end =
+    last event + gap."""
+    import tempfile
+
+    from crawlspark.streaming import run_available_now, stream_sessions
+
+    # the file-stream source requires a DIRECTORY basePath — expose the
+    # single events.parquet file through a temp dir symlink
+    src_dir = tempfile.mkdtemp(prefix="drv_sess_src_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    out = stream_sessions(spark, src_dir)
+    name = f"drv_sess_{abs(hash(sf_dir)) % 10**8}"
+    run_available_now(out, name, tempfile.mkdtemp(prefix="ckpt_drv_sess_"))
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+def sql_stream_sessions() -> str:
+    return """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             epoch(ts) - lag(epoch(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_idx"""
+
+
 def q_text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawlspark.textops import langid_cols, quality_cols, tokens_col
 
@@ -1182,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "pivot_events": q_pivot_events,
         "sessionize": q_sessionize,
+        "stream_sessions": q_stream_sessions,
         "lag_delta": q_lag_delta,
         "distinct_agg": q_distinct_agg,
         "percentile_stats": q_percentile_stats,
@@ -1234,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": sql_set_ops(),
         "pivot_events": sql_pivot_events(),
         "sessionize": sql_sessionize(),
+        "stream_sessions": sql_stream_sessions(),
         "lag_delta": sql_lag_delta(),
         "distinct_agg": sql_distinct_agg(),
         "percentile_stats": sql_percentile_stats(),

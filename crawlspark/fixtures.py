@@ -115,6 +115,19 @@ def _description_html(seed: int, url: str) -> tuple[str, str]:
         "<ul>\n" + "\n".join(f"  <li>{it}</li>" for it in items) + "\n</ul>"
     )
     texts += items
+    # requirements sentence — the S13 experience / working-rights
+    # extraction targets (deterministic per url; ~1/3 of docs get each
+    # shape, 1/3 none so the site defaults stay exercised)
+    req = h // 7 % 3
+    if req == 0:
+        extra = f"Requires {2 + h % 8}+ years experience."
+    elif req == 1:
+        extra = f"Minimum {1 + h % 5} years experience. Visa sponsorship available."
+    else:
+        extra = None
+    if extra is not None:
+        frags.append(f"<p>{extra}</p>")
+        texts.append(extra)
     return "\n".join(frags), "\n".join(texts)
 
 

@@ -418,3 +418,43 @@ def extract_salary_sql(c: str) -> tuple[str, str, str]:
     single = _sal_num_sql(rex(_SAL_SINGLE, 1), rex(_SAL_SINGLE, 2))
     salary = f"CASE WHEN ({mn}) IS NULL THEN ({single}) END"
     return mn, mx, salary
+
+
+# ---------------------------------------------------------------------------
+# S13 replacement, remaining two LLM output fields (VERDICT r2 #3):
+# ``number_of_experience`` ("number of experience this job requires",
+# jora_job_description_extraction.py:37-38 — pydantic default 1; the
+# seek path's job_des.get(..., -1) defaults -1,
+# seek_job_description_extraction.py:212) and ``is_working_right``
+# ("is working rights required for this role", default True,
+# jora_job_description_extraction.py:44-45). Deterministic stand-ins
+# over the same combination_text: an "N(+) years" regex and a
+# sponsorship-phrase match (sponsorship offered ⇒ working rights NOT
+# required). Pure Column expressions with DuckDB twins; NULL text →
+# NULL / default at the caller (warehouse coalesces site defaults).
+# ---------------------------------------------------------------------------
+
+_EXP_RE = r"(\d{1,2})\s*\+?\s*(?:years?|yrs)"
+_NO_WR_RE = r"visa sponsorship|sponsorship (?:is )?available|no working rights required"
+
+
+def extract_experience(text: Column) -> Column:
+    """First "N(+) years" mention as the years-of-experience int; NULL
+    when the text has none (caller applies the site default)."""
+    v = F.regexp_extract(F.lower(text), _EXP_RE, 1)
+    return F.when(v != "", v.cast("int"))
+
+
+def extract_experience_sql(c: str) -> str:
+    v = f"COALESCE(regexp_extract(lower({c}), '{_EXP_RE}', 1), '')"
+    return f"CASE WHEN {v} <> '' THEN CAST({v} AS INT) END"
+
+
+def extract_working_right(text: Column) -> Column:
+    """False iff the text offers sponsorship / waives working rights;
+    True otherwise (the pydantic default when the LLM saw no signal)."""
+    return ~F.lower(text).rlike(_NO_WR_RE)
+
+
+def extract_working_right_sql(c: str) -> str:
+    return f"NOT regexp_matches(lower({c}), '{_NO_WR_RE}')"

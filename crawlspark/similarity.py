@@ -151,6 +151,39 @@ def _assign_bucket(corpus: DataFrame, centroid_rows: list) -> DataFrame:
     return with_norm.select("nid", "nv", best["cid"].alias("bucket"))
 
 
+def _assign_bucket_pandas(corpus: DataFrame, centroid_rows: list) -> DataFrame:
+    """Fast path of ``_assign_bucket``: identical bucket semantics
+    (round-9 cosine argmax, ties → larger cid) but all n_centroids
+    dot products per row come from ONE numpy matmul per Arrow batch —
+    no interpreted higher-order-function folds. The expression variant
+    stays as the bit-exact mirror of the DuckDB twin; pytest asserts
+    both assign every test vector to the same bucket (a flip would
+    need two cosines within ~1 ulp of the same 1e-9 rounding cell)."""
+    rows = sorted(centroid_rows)  # ascending cid
+    cids = np.array([c for c, _ in rows], dtype=np.int32)
+    C = np.array([v for _, v in rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round((M / np.linalg.norm(M, axis=1, keepdims=True)) @ Cn.T, 9)
+            # argmax with ties toward the LARGER cid (cids ascending →
+            # scan reversed, take the last maximal column)
+            idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {"nid": pdf["nid"], "nv": pdf["nv"], "bucket": cids[idx]}
+            )
+
+    dbl = corpus.select(
+        "nid", F.transform("nv", lambda x: x.cast("double")).alias("nv")
+    )
+    return dbl.mapInPandas(batches, "nid bigint, nv array<double>, bucket int")
+
+
 def _seq_sumsq(vec: list) -> float:
     """Sequential left-fold sum of squares — the exact add order of
     the Column-side F.aggregate, so the constant norm is bit-identical
@@ -169,12 +202,19 @@ def ivf_topk(
     n_probes: int = IVF_PROBES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "pandas",
 ) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid; queries search the
     ``n_probes`` nearest buckets only. Same output schema as
     brute_force_topk. At scale the bucket assignment is precomputed /
     bucketed-by on write, so a query touches n_probes/n_centroids of
-    the corpus."""
+    the corpus.
+
+    ``impl='pandas'`` (default): numpy-matmul bucket assignment and
+    vectorized candidate scoring (Arrow batches, no per-row Python);
+    ``impl='expr'`` is the pure-Column path, the bit-exact mirror of
+    the DuckDB twin ``ivf_topk_sql`` — pytest asserts both impls
+    return identical rows on the test embeddings."""
     centroids_df = (
         emb.orderBy(id_col)
         .limit(n_centroids)
@@ -185,7 +225,8 @@ def ivf_topk(
         (r["cid"], list(r["cv"])) for r in centroids_df.collect()
     ]
     corpus = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    bucketed = _assign_bucket(corpus, centroid_rows)
+    assign = _assign_bucket_pandas if impl == "pandas" else _assign_bucket
+    bucketed = assign(corpus, centroid_rows)
 
     q = _queries_df(emb, n_queries, id_col, vec_col)
     # per query: the n_probes nearest centroids
@@ -198,12 +239,16 @@ def ivf_topk(
         .filter(F.col("prank") <= n_probes)
         .select("qid", "qv", F.col("cid").alias("bucket"))
     )
+    if impl == "pandas":
+        from crawlspark.textops import cosine_pd
+
+        raw_cos = cosine_pd()(F.col("qv"), F.col("nv"))
+    else:
+        raw_cos = cosine(F.col("qv"), F.col("nv"))
     scored = (
         bucketed.join(F.broadcast(probes), "bucket")
         .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos")
-        )
+        .select("qid", "nid", F.round(raw_cos, 6).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (

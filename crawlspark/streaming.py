@@ -35,6 +35,32 @@ CRAWL_LOG_SCHEMA = (
     "link_idx int, url string, host string, ok boolean"
 )
 
+
+def _committed_dir_filter(catalog_root: str, table: str):
+    """Predicate keeping only files under MANIFEST-COMMITTED snapshot
+    dirs. The file-source glob alone would also ingest (a) orphan
+    snap-* dirs from a crashed, never-committed round — which the
+    catalog's recovery contract says are never referenced again — and
+    (b) dirs a concurrent expire_snapshots may delete; both would skew
+    the monitoring counts (ADVICE r2). The committed set is resolved
+    when the source is built, i.e. per monitoring poll."""
+    import json
+
+    manifest_path = os.path.join(catalog_root, table, "manifest.json")
+    committed: set[str] = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        for e in manifest["snapshots"]:
+            committed.update(e.get("dirs", []))
+            # bucket values look like "snap-000003/_bucket=5" — the
+            # filter matches on the leading snap component
+            committed.update(
+                v.split("/", 1)[0] for v in (e.get("buckets") or {}).values()
+            )
+    snap_dir = F.regexp_extract(F.input_file_name(), r"(snap-\d+)", 1)
+    return snap_dir.isin(*sorted(committed)) if committed else F.lit(False)
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
@@ -51,6 +77,7 @@ def stream_crawl_log(
         spark.readStream.schema(CRAWL_LOG_SCHEMA)
         .option("maxFilesPerTrigger", 16)
         .parquet(os.path.join(catalog_root, "crawl_log", "snap-*"))
+        .where(_committed_dir_filter(catalog_root, "crawl_log"))
     )
     return (
         src.groupBy("round", "host")
@@ -149,6 +176,7 @@ def stream_host_health(spark: SparkSession, catalog_root: str) -> DataFrame:
     src = (
         spark.readStream.schema(CRAWL_LOG_SCHEMA)
         .parquet(os.path.join(catalog_root, "crawl_log", "snap-*"))
+        .where(_committed_dir_filter(catalog_root, "crawl_log"))
         .withColumn(
             "phase_rank", F.when(F.col("phase") == "search", 0).otherwise(1)
         )

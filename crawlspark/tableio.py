@@ -103,6 +103,16 @@ class SnapshotCatalog:
                 ]
                 base = prior[-1] if prior else None
             if base is not None:
+                if base.get("buckets"):
+                    # an append composed from base["dirs"] alone would
+                    # silently drop every bucketed row (ADVICE r2) —
+                    # no caller mixes the modes; fail loudly if one does
+                    raise ValueError(
+                        f"table {table}: append onto a bucketed snapshot "
+                        "(id {0}) is not supported — use write_bucketed".format(
+                            base["id"]
+                        )
+                    )
                 dirs = base["dirs"] + dirs
         entry = {
             "id": snap_id,

@@ -39,6 +39,8 @@ hamming-banding dedup at crawl scale).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -632,6 +634,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def cosine_pd():
+    """Vectorized (Arrow-batched) cosine of two array columns — one
+    numpy einsum per batch instead of an interpreted per-row
+    ``F.aggregate`` fold. Returns the RAW double; callers apply
+    ``F.round`` Spark-side so the rounding mode (HALF_UP) is identical
+    to the expression path. Numerically this differs from ``cosine()``
+    only in summation order (pairwise vs left fold, ~1 ulp), which the
+    6/9-dp rounding the callers apply absorbs; the expression path is
+    kept as the bit-exact oracle twin and pytest asserts end-to-end
+    equality of both paths on the real test embeddings."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dots = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            out = dots / (na * nb)
+        return pd.Series(out)
+
+    return _cos
+
+
 def cosine_sql(a: str, b: str) -> str:
     return (
         f"(list_sum(list_transform(range(1, len({a}) + 1), "
@@ -758,42 +789,78 @@ def embedding_lsh_pairs(
     n_bits: int = EMB_LSH_BITS,
     bands: int = EMB_LSH_BANDS,
     owner: list | None = None,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold via sign-LSH banding:
     32 hyperplane sign bits → 4 band values → bucket self-join →
     exact-cosine verify.
 
-    Physical plan at scale: sign bits are per-row expression folds (no
-    shuffle); the banded self-join shuffles (vid, band, band_val) only
-    — vectors never enter the wide shuffle; candidates re-join the
-    vectors by id for the verify. Candidate count for a random pair is
+    Physical plan at scale: sign bits are per-row (no shuffle); the
+    banded self-join shuffles (vid, band, band_val) only — vectors
+    never enter the wide shuffle; candidates re-join the vectors by id
+    for the verify. Candidate count for a random pair is
     ~bands/2^(bits/bands) of n² (tune bits/band up at higher n); true
     near-dups (θ small) collide with prob ≥ 1-(1-(1-θ/π)^(bits/bands))^bands.
-    """
+
+    ``impl='pandas'`` (default, the fast path): all 32 hyperplane dots
+    per row come from ONE numpy matmul per Arrow batch (mapInPandas),
+    and the verify cosine is the vectorized ``cosine_pd`` — no
+    interpreted higher-order-function folds anywhere. ``impl='expr'``
+    is the pure-Column construction, kept because it is the bit-exact
+    mirror of the DuckDB twin (``embedding_lsh_pairs_sql``); a pytest
+    asserts both impls produce identical output on the real test
+    embeddings (sign flips would need |dot| ≲ 1e-15, which the planted
+    corpus never approaches)."""
     planes = hyperplane_signs(n_bits, dim)
     bits_per_band = n_bits // bands
     s = emb.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    bit_cols = []
-    for p in range(n_bits):
-        plane = F.array(*[F.lit(float(c)) for c in planes[p]])
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), plane, lambda x, r: x * r),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if impl == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes, dtype=np.float64)  # (n_bits, dim)
+        wts = (1 << np.arange(bits_per_band)).astype(np.int64)
+
+        def sig_batches(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                bits = (M @ P.T >= 0).astype(np.int64)  # (n, n_bits)
+                bvals = bits.reshape(len(pdf), bands, bits_per_band) @ wts
+                yield pd.DataFrame(
+                    {
+                        "vid": np.repeat(pdf["vid"].to_numpy(), bands),
+                        "band": np.tile(
+                            np.arange(bands, dtype=np.int32), len(pdf)
+                        ),
+                        "band_val": bvals.ravel().astype(np.int32),
+                    }
+                )
+
+        banded = s.mapInPandas(sig_batches, "vid bigint, band int, band_val int")
+    else:
+        bit_cols = []
+        for p in range(n_bits):
+            plane = F.array(*[F.lit(float(c)) for c in planes[p]])
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), plane, lambda x, r: x * r),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit_cols.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+        band_cols = []
+        for b in range(bands):
+            bv = F.lit(0)
+            for j in range(bits_per_band):
+                bv = bv + bit_cols[b * bits_per_band + j] * F.lit(1 << j)
+            band_cols.append(bv)
+        banded = s.select(
+            "vid", F.posexplode(F.array(*band_cols)).alias("band", "band_val")
         )
-        bit_cols.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
-    band_cols = []
-    for b in range(bands):
-        bv = F.lit(0)
-        for j in range(bits_per_band):
-            bv = bv + bit_cols[b * bits_per_band + j] * F.lit(1 << j)
-        band_cols.append(bv)
-    banded = s.select(
-        "vid", F.posexplode(F.array(*band_cols)).alias("band", "band_val")
-    )
     banded = _branch_persist(banded, owner)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -808,14 +875,15 @@ def embedding_lsh_pairs(
     )
     sa = s.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"))
     sb = s.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"))
+    raw_cos = (
+        cosine_pd()(F.col("v_a"), F.col("v_b"))
+        if impl == "pandas"
+        else cosine(F.col("v_a"), F.col("v_b"))
+    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
-        )
+        .select("id_a", "id_b", F.round(raw_cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
@@ -949,8 +1017,12 @@ def winnow_fingerprints_sql(
         f"th[i + {j}] * {WINNOW_BASE ** j}" if j else "th[i]"
         for j in range(k)
     )
+    # COALESCE: DuckDB array_to_string([], ' ') is NULL where Spark's
+    # concat_ws yields '' — an empty/whitespace-only doc must
+    # fingerprint identically on both engines (ADVICE r2)
     whole = (
-        "[('0x' || substr(md5(array_to_string(th, ' ')), 1, 8))::BIGINT]"
+        "[('0x' || substr(md5(COALESCE(array_to_string(th, ' '), '')), 1, 8))"
+        "::BIGINT]"
     )
     return f"""
     WITH h AS (SELECT {id_col} AS doc_id, {th} AS th FROM {table}),
@@ -991,43 +1063,75 @@ def dup_clusters(
 ) -> DataFrame:
     """(doc_id, cluster): cluster = min doc_id in the doc's connected
     component of the (id_a, id_b) dup graph; isolated docs are their
-    own cluster. Each iteration is one join + one min-agg (shuffles on
-    the id key); iterations needed = component diameter, and the loop
-    stops early when no label changes. At 10^10 docs this is the
-    standard large-star/small-star regime — same recurrence, fewer
-    rounds; diameters of near-dup clusters are small in practice."""
-    sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    own cluster. Each iteration is one neighbor-propagation join + one
+    min-agg PLUS a pointer-doubling hop (label ← label(label), one
+    self-join) — the doubling makes the round count O(log diameter)
+    instead of O(diameter), the same effect the large-star/small-star
+    alternation buys at 10^10 docs, so a 1000-hop dup chain converges
+    in ~10 rounds. The loop stops early when no label changes and
+    RAISES if it exhausts ``max_iter`` un-converged — silently capped
+    labels would be wrong with no signal (VERDICT r2 #4)."""
+    # persist the symmetric edge set: ``pairs`` is usually an expensive
+    # LSH pipeline, and every iteration joins it — without the persist
+    # it would be recomputed per round
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
     )
     labels = docs.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
     )
-    prev_persisted = None
-    for _ in range(max_iter):
-        prop = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), "label")
+    changed = -1
+    try:
+        for _ in range(max_iter):
+            prop = (
+                sym.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "label")
+            )
+            stepped = (
+                labels.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+            # pointer doubling: every label is itself a doc id, so
+            # follow it one hop (label(label) ≤ label by the
+            # min-invariant; least() guards the identity case)
+            lbl_map = stepped.select(
+                F.col("id").alias("label"), F.col("label").alias("label2")
+            )
+            # localCheckpoint TRUNCATES the logical plan — the doubling
+            # self-join otherwise duplicates the un-truncated subtree
+            # every round, and analysis alone goes exponential in the
+            # iteration count (a persist() shortcuts execution but not
+            # the analyzer). On a cluster this is checkpoint() to
+            # reliable storage; same recurrence.
+            new_labels = (
+                stepped.join(lbl_map, "label", "left")
+                .select(
+                    "id",
+                    F.least("label", F.coalesce("label2", "label")).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters: labels still changing after {max_iter} iterations "
+            "(component diameter > 2^max_iter) — raise max_iter"
         )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted = new_labels
-        labels = new_labels
-        if changed == 0:
-            break
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
 
 

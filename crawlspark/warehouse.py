@@ -124,14 +124,21 @@ def build_seek_jora_metadata(parsed: DataFrame, rnd: int) -> DataFrame:
         min_s.cast("int").alias("min_salary"),
         max_s.cast("int").alias("max_salary"),
         c["contract_type"].alias("contract_type"),
-        # seek: job_des.get("number_of_experience", -1) with no LLM → -1
-        # (seek_job_description_extraction.py:212); jora: pydantic
+        # S13: "N(+) years" extracted from combination_text; the
+        # no-mention default stays site-faithful — seek
+        # job_des.get("number_of_experience", -1) → -1
+        # (seek_job_description_extraction.py:212), jora pydantic
         # default 1 (jora_job_description_extraction.py:37-38)
-        F.when(F.col("site") == "seek", F.lit(-1)).otherwise(F.lit(1)).alias(
-            "number_of_experience"
-        ),
+        F.coalesce(
+            cf.extract_experience(F.col("combination_text")),
+            F.when(F.col("site") == "seek", F.lit(-1)).otherwise(F.lit(1)),
+        ).alias("number_of_experience"),
         c["job_type"].alias("job_type"),
-        F.lit(True).alias("is_working_right"),
+        # S13: sponsorship-phrase match; no signal → pydantic default
+        # True (jora_job_description_extraction.py:44-45)
+        cf.extract_working_right(F.col("combination_text")).alias(
+            "is_working_right"
+        ),
         raw_file.alias("raw_content_file"),
         c["level"].alias("level"),
         F.lit(None).cast("string").alias("extraction_role"),

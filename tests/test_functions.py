@@ -227,6 +227,43 @@ def test_normalize_skills(spark):
     assert df.collect()[0]["out"] == ["aws", "python", "sql"]
 
 
+EXP_CASES = [
+    ("Requires 3+ years experience in Spark", 3, True),
+    ("minimum 12 years experience", 12, True),
+    ("5 yrs hands-on; visa sponsorship available", 5, False),
+    ("Sponsorship is available for the right candidate", None, False),
+    ("no working rights required", None, False),
+    ("full working rights required", None, True),
+    ("great team and culture", None, True),
+    ("pay $120k - $150k", None, True),
+    (None, None, None),
+]
+
+
+def test_extract_experience_and_working_right(spark):
+    df = spark.createDataFrame(
+        [(t,) for t, _, _ in EXP_CASES], "t string"
+    ).select(
+        "t",
+        cf.extract_experience(F.col("t")).alias("exp"),
+        cf.extract_working_right(F.col("t")).alias("wr"),
+    )
+    got = {r["t"]: (r["exp"], r["wr"]) for r in df.collect()}
+    for t, exp, wr in EXP_CASES:
+        assert got[t] == (exp, wr), repr(t)
+    # DuckDB twins must agree case by case
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t, _, _ in EXP_CASES])
+    sql = (
+        f"SELECT t, {cf.extract_experience_sql('t')} AS exp, "
+        f"{cf.extract_working_right_sql('t')} AS wr FROM t"
+    )
+    for t, exp, wr in con.execute(sql).fetchall():
+        want_exp, want_wr = got[t]
+        assert (exp, wr) == (want_exp, want_wr), repr(t)
+
+
 def test_page_count(spark):
     df = spark.createDataFrame(
         [(0, 20), (19, 20), (20, 20), (21, 20), (400, 20)], "jc long, pp long"

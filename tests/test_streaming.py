@@ -67,6 +67,58 @@ def test_stream_crawl_log_follows_catalog(spark, cat4, tmp_path):
     assert any(f > 0 for f, _ in got.values())
 
 
+def test_stream_crawl_log_ignores_orphan_snapshot(spark, cat4, tmp_path):
+    """An orphan snap-* dir from a crashed, never-committed round must
+    NOT be ingested (the recovery contract says it is never referenced
+    again): the stream source filters the file glob against the
+    manifest's committed dir set (ADVICE r2)."""
+    import shutil
+
+    log_dir = os.path.join(cat4.root, "crawl_log")
+    committed = sorted(d for d in os.listdir(log_dir) if d.startswith("snap-"))
+    orphan = os.path.join(log_dir, "snap-999999")
+    shutil.copytree(os.path.join(log_dir, committed[0]), orphan)
+    try:
+        out = ST.stream_crawl_log(spark, cat4.root)
+        ST.run_available_now(out, "log_agg_orphan", str(tmp_path / "ckpt_orph"))
+        got = {
+            (r["round"], r["host"]): (r["fetches"], r["failures"])
+            for r in spark.sql("SELECT * FROM log_agg_orphan").collect()
+        }
+        raw = spark.read.schema(ST.CRAWL_LOG_SCHEMA).parquet(
+            *[os.path.join(log_dir, d) for d in committed]
+        )
+        want = {
+            (r["round"], r["host"]): (r["fetches"], r["failures"])
+            for r in raw.groupBy("round", "host")
+            .agg(
+                F.count("*").alias("fetches"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failures"),
+            )
+            .collect()
+        }
+        assert got == want  # double-counting would inflate fetches
+    finally:
+        shutil.rmtree(orphan)
+
+
+def test_tableio_append_onto_bucketed_raises(spark, tmp_path):
+    """Mixing write modes on one table is an unguarded data-loss hazard
+    (append composes only base['dirs'], dropping bucketed rows) — the
+    catalog must refuse (ADVICE r2)."""
+    import pytest as _pytest
+
+    from crawlspark.tableio import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("_bucket")
+    )
+    cat.write_bucketed("t", df, touched=[0, 1, 2, 3], round_no=0)
+    with _pytest.raises(ValueError, match="bucketed"):
+        cat.write("t", spark.range(5).select("id"), round_no=1, mode="append")
+
+
 def test_stream_host_health_stateful(spark, cat4, tmp_path):
     """applyInPandasWithState across triggers: the final per-host state
     (total fetches, failures, consecutive-failure streak) must equal a

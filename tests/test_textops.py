@@ -336,6 +336,38 @@ def test_dup_clusters_multihop(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 9: 4}
 
 
+def test_dup_clusters_long_chain_converges(spark):
+    """A 40-hop dup chain (diameter ≫ the old iteration cap) must
+    converge under the default max_iter thanks to pointer doubling —
+    every node labels to 0."""
+    n = 41
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster"] for r in T.dup_clusters(docs, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    """The convergence guard (VERDICT r2 #4): exhausting max_iter with
+    labels still moving must raise, never return silently-wrong
+    clusters."""
+    import pytest as _pytest
+
+    n = 30
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge|still changing"):
+        T.dup_clusters(docs, pairs, max_iter=2)
+
+
 def test_dup_clusters_vs_duckdb(spark, docs):
     con = _duck([("documents", docs.toPandas())])
     _cmp(

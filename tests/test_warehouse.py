@@ -192,3 +192,18 @@ def test_seek_jora_skills_and_salary_populated(cat4):
         (F.col("min_salary") >= 1_000_000) | (F.col("min_salary") < 0)
     ).count()
     assert bad == 0
+
+
+def test_seek_jora_experience_and_working_right_extracted(cat4):
+    """S13 remaining fields (round 3): the fixture descriptions carry
+    "N(+) years" and sponsorship phrases on a deterministic subset, so
+    seek/jora metadata must show extracted experience values (> 0),
+    site defaults (-1 seek / 1 jora) on phrase-free pages, and both
+    True and False working-rights flags."""
+    jm = cat4.read("job_metadata")
+    sj = jm.filter(F.col("crawled_website_id").isin(1, 2))
+    assert sj.filter(F.col("number_of_experience") > 1).count() > 0
+    # default still happens on pages with no experience phrase
+    assert sj.filter(F.col("number_of_experience").isin(-1, 1)).count() > 0
+    wr = {r["is_working_right"] for r in sj.select("is_working_right").distinct().collect()}
+    assert wr == {True, False}
