@@ -1140,13 +1140,9 @@ def sql_text_quality_langid() -> str:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crawlspark.textops import fingerprint_col, shingles_col, tokens_col
+    from crawlspark.textops import doc_fingerprint_df
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        fingerprint_col(shingles_col(tokens_col(F.col("text")))).alias("fp"),
-    )
+    return doc_fingerprint_df(_t(spark, sf_dir, "documents"))
 
 
 def sql_doc_fingerprint() -> str:

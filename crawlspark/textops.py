@@ -355,20 +355,40 @@ def simhash_df(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
+    impl: str = "pandas",
 ) -> DataFrame:
     """(doc_id, sim): SimHash over *distinct* tokens — bit i of the
     result is 1 iff more distinct tokens have bit i set than not.
 
-    Two-step projection so the md5→int token hashes are computed ONCE
-    per row and the 32 bit-folds run over the materialized bigint
-    array (pure integer ops, per-row, no shuffle). Inlining the hash
-    into each fold would recompute md5 32× per token."""
+    The md5→int token hashing stays a JVM-side projection (codegen);
+    the 32 majority-vote bit folds are the hot part. ``impl='pandas'``
+    (default) computes them with numpy per Arrow batch — pure integer
+    ops, so the result is BIT-IDENTICAL to ``impl='expr'`` (the
+    32 interpreted ``F.aggregate`` folds, the literal mirror of the
+    DuckDB twin); pytest asserts equality. Inlining the hash into each
+    fold would recompute md5 32× per token — both impls hash once."""
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(
             F.array_distinct(tokens_col(F.col(text_col))), _token_hash60
         ).alias("hs"),
     )
+    if impl == "pandas":
+        import numpy as np
+
+        shifts = np.arange(bits, dtype=np.int64)
+
+        def batches(it):
+            for pdf in it:
+                sims = np.zeros(len(pdf), dtype=np.int64)
+                for r, hs in enumerate(pdf["hs"]):
+                    h = np.asarray(hs, dtype=np.int64)
+                    if h.size:
+                        ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
+                        sims[r] = ((2 * ones > h.size).astype(np.int64) << shifts).sum()
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sim": sims})
+
+        return hashed.mapInPandas(batches, "doc_id bigint, sim bigint")
     n = F.size("hs")
     out = F.lit(0).cast("bigint")
     for i in range(bits):
@@ -603,6 +623,58 @@ def fingerprint_col(sh: Column, k: int = FINGERPRINT_K) -> Column:
     overlap (winnowing-style selection, deterministic)."""
     hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
     return F.concat_ws("", F.slice(hashed, 1, k))
+
+
+def doc_fingerprint_df(
+    docs: DataFrame,
+    k: int = FINGERPRINT_K,
+    n: int = SHINGLE_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "pandas",
+) -> DataFrame:
+    """(doc_id, fp): the bottom-k fingerprint per doc. ``impl='expr'``
+    is the Column build (shingles_col → fingerprint_col), the literal
+    mirror of ``fingerprint_sql``; ``impl='pandas'`` (default) keeps
+    tokenization JVM-side but shingles+md5+sort run per Arrow batch in
+    Python — the md5-per-shingle ``F.transform`` is an interpreted
+    higher-order function and dominates the expression path's cost.
+    Output is exactly equal (md5 hex + lexicographic sort are
+    engine-independent; duplicate shingles collapse to duplicate
+    hashes either way — the sorted prefix is identical), asserted in
+    tests/test_vectorized.py."""
+    if impl != "pandas":
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            fingerprint_col(shingles_col(tokens_col(F.col(text_col)), n), k).alias("fp"),
+        )
+    import hashlib
+
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+
+    def batches(it):
+        for pdf in it:
+            fps = []
+            for toks in pdf["toks"]:
+                toks = list(toks)
+                if len(toks) >= n:
+                    # dict preserves first-occurrence distinct order,
+                    # same as F.array_distinct (order is irrelevant
+                    # after the sort, but keep the set identical)
+                    grams = dict.fromkeys(
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    )
+                else:
+                    grams = {" ".join(toks): None}
+                hs = sorted(
+                    hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams
+                )
+                fps.append("".join(hs[:k]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fp": fps})
+
+    return toks_df.mapInPandas(batches, "doc_id bigint, fp string")
 
 
 def fingerprint_sql(sh: str, k: int = FINGERPRINT_K) -> str:

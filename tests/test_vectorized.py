@@ -53,6 +53,22 @@ def test_ivf_bucket_assignment_identical(emb):
     assert fast == slow and len(fast) == emb.count()
 
 
+def test_simhash_pandas_equals_expr(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fast = _rows(T.simhash_df(docs, impl="pandas"))
+    slow = _rows(T.simhash_df(docs, impl="expr"))
+    assert fast == slow  # pure integer ops — bit-identical, not just close
+    assert len(fast) == docs.count()
+
+
+def test_doc_fingerprint_pandas_equals_expr(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fast = _rows(T.doc_fingerprint_df(docs, impl="pandas"))
+    slow = _rows(T.doc_fingerprint_df(docs, impl="expr"))
+    assert fast == slow  # md5 hex + lexicographic sort: engine-exact
+    assert len(fast) == docs.count()
+
+
 def test_emb_lsh_pandas_equals_expr(spark, emb):
     planted = T.planted_embeddings(emb)
     fast = _rows(T.embedding_lsh_pairs(planted, threshold=0.95, impl="pandas"))
