@@ -1215,6 +1215,170 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs_as_media(_t(spark, sf_dir, "documents")))
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the documents corpus: plant deterministic
+    email/phone/IPv4 spans (the planted_embeddings pattern — the
+    synthetic corpus has no native PII), then count and redact them
+    with Java∩RE2-safe regexes. Pure codegen projections, no shuffle."""
+    from crawlspark.corpusops import pii_redact_df
+
+    return pii_redact_df(_t(spark, sf_dir, "documents"))
+
+
+def sql_pii_redact() -> str:
+    from crawlspark.corpusops import pii_redact_sql
+
+    return pii_redact_sql()
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality: duplicate/top n-gram fractions
+    per doc + the composite keep flag. Counter-per-Arrow-batch fast
+    path; the Column-expression build is the oracle twin (asserted
+    equal in tests/test_corpusops.py)."""
+    from crawlspark.corpusops import repetition_quality_df
+
+    return repetition_quality_df(_t(spark, sf_dir, "documents"))
+
+
+def sql_quality_repetition() -> str:
+    from crawlspark.corpusops import repetition_quality_sql
+
+    return repetition_quality_sql()
+
+
+def q_boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LEVEL boilerplate removal: segments recurring in >= 3
+    distinct docs are dropped and each doc is reassembled in order —
+    the CCNet/RefinedWeb shared-lines filter. One segment-key shuffle
+    (map-side combined) + one doc_id reassembly shuffle."""
+    from crawlspark.corpusops import boilerplate_remove
+
+    return boilerplate_remove(_t(spark, sf_dir, "documents"))
+
+
+def sql_boilerplate_remove() -> str:
+    from crawlspark.corpusops import boilerplate_remove_sql
+
+    return boilerplate_remove_sql()
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: md5-bucket Bernoulli per
+    language (head language keeps 40%, zh 80%, tail 100%) — exactly
+    reproducible across engines, runs, and cluster sizes, unlike
+    rand()-based sampling. Projection + filter only."""
+    from crawlspark.corpusops import hash_sample_df
+
+    return hash_sample_df(_t(spark, sf_dir, "documents"))
+
+
+def sql_hash_sample() -> str:
+    from crawlspark.corpusops import hash_sample_sql
+
+    return hash_sample_sql()
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc: two map-side-combinable hash aggs,
+    a 1-row broadcast for corpus size, one ranking window. Scores are
+    rounded to 6dp BEFORE ranking so the order is engine-independent."""
+    from crawlspark.corpusops import tfidf_topterms
+
+    return tfidf_topterms(_t(spark, sf_dir, "documents"))
+
+
+def sql_tfidf_topterms() -> str:
+    from crawlspark.corpusops import tfidf_topterms_sql
+
+    return tfidf_topterms_sql()
+
+
+def q_stream_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming driver surface: the applyInPandasWithState
+    per-host health monitor (total fetches, failures, consecutive-
+    failure streak) drained with availableNow over the crawl_log a
+    2-round engine run just committed. Update mode emits one row per
+    host per trigger; the final state per host is the row with the
+    highest total."""
+    import tempfile
+
+    from crawlspark.fixtures import (
+        gen_seeds,
+        pages_df,
+        politeness_rows,
+        robots_rows,
+    )
+    from crawlspark.scheduler import CrawlEngine
+    from crawlspark.streaming import run_available_now, stream_host_health
+    from crawlspark.tableio import SnapshotCatalog
+
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="crawlspark_hh_"), spark)
+    eng = CrawlEngine(
+        spark, cat, pages_df(spark, 42, "tiny"), gen_seeds("tiny"),
+        politeness_rows(), robots_rows(42, "tiny"), round_seconds=600.0,
+    )
+    eng.run(2, resume=False)
+    out = stream_host_health(spark, cat.root)
+    name = f"drv_hh_{abs(hash(cat.root)) % 10**8}"
+    run_available_now(
+        out, name, tempfile.mkdtemp(prefix="ckpt_drv_hh_"), output_mode="update"
+    )
+    w = Window.partitionBy("host").orderBy(F.col("total").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("host", "total", "failures", "fail_streak")
+    )
+
+
+def sql_stream_host_health() -> str:
+    """Oracle: the pure-Python reference simulator's 2-round crawl log
+    embedded as VALUES (the crawl_replay trick), folded per host IN
+    SQL — total = rows, failures = not-ok rows, fail_streak = rows
+    after the last ok (gaps-and-islands), in the canonical log order
+    the stateful operator contracts to."""
+    from crawlspark.fixtures import (
+        gen_pages_rows,
+        gen_seeds,
+        politeness_rows,
+        robots_rows,
+    )
+    from crawlspark.simulator import ReferenceSimulator
+
+    sim = ReferenceSimulator(
+        {r["url"]: r["html"] for r in gen_pages_rows(42, "tiny")},
+        gen_seeds("tiny"),
+        politeness_rows(),
+        robots_rows(42, "tiny"),
+        round_seconds=600.0,
+    )
+    sim.run(2)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n      ".join(
+        f"({r['round']}, {0 if r['phase'] == 'search' else 1}, "
+        f"{r['seed_idx']}, {r['depth']}, {r['link_idx']}, {q(r['host'])}, "
+        f"{str(bool(r['ok'])).upper()})"
+        for r in sim.state.log
+    )
+    return f"""
+    WITH log(rnd, phase_rank, seed_idx, depth, link_idx, host, ok) AS (VALUES
+      {vals}),
+    o AS (SELECT host, ok,
+                 row_number() OVER (PARTITION BY host
+                   ORDER BY rnd, phase_rank, seed_idx, depth, link_idx) AS rn
+          FROM log)
+    SELECT host,
+           count(*)::BIGINT AS total,
+           count(*) FILTER (NOT ok)::BIGINT AS failures,
+           (count(*) - COALESCE(max(rn) FILTER (ok), 0))::BIGINT AS fail_streak
+    FROM o GROUP BY host"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1261,6 +1425,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_quality_langid": q_text_quality_langid,
+        "pii_redact": q_pii_redact,
+        "quality_repetition": q_quality_repetition,
+        "boilerplate_remove": q_boilerplate_remove,
+        "hash_sample": q_hash_sample,
+        "tfidf_topterms": q_tfidf_topterms,
+        "stream_host_health": q_stream_host_health,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
         "media_features": q_media_features,
@@ -1320,6 +1490,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": brute_force_topk_sql(n_queries=10, k=5),
         "ann_topk_ivf": ivf_topk_sql(n_queries=10, k=5),
         "text_quality_langid": sql_text_quality_langid(),
+        "pii_redact": sql_pii_redact(),
+        "quality_repetition": sql_quality_repetition(),
+        "boilerplate_remove": sql_boilerplate_remove(),
+        "hash_sample": sql_hash_sample(),
+        "tfidf_topterms": sql_tfidf_topterms(),
+        "stream_host_health": sql_stream_host_health(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "winnow_fingerprint": T.winnow_fingerprints_sql(),
         "media_features": sql_media_features(),
