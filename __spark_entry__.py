@@ -1294,6 +1294,31 @@ def sql_tfidf_topterms() -> str:
     return tfidf_topterms_sql()
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup drained with availableNow: each distinct
+    (user_id, event_type) emitted once, first-seen, state across
+    micro-batches — the streaming twin of batch SELECT DISTINCT."""
+    import tempfile
+
+    from crawlspark.streaming import run_available_now, stream_dedup
+
+    src_dir = tempfile.mkdtemp(prefix="drv_sdedup_src_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    out = stream_dedup(spark, src_dir)
+    name = f"drv_sdedup_{abs(hash(sf_dir)) % 10**8}"
+    run_available_now(
+        out, name, tempfile.mkdtemp(prefix="ckpt_drv_sdedup_"), output_mode="append"
+    )
+    return spark.table(name).select("user_id", "event_type")
+
+
+def sql_stream_dedup() -> str:
+    return "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def q_stream_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL streaming driver surface: the applyInPandasWithState
     per-host health monitor (total fetches, failures, consecutive-
@@ -1431,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "tfidf_topterms": q_tfidf_topterms,
         "stream_host_health": q_stream_host_health,
+        "stream_dedup": q_stream_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
         "media_features": q_media_features,
@@ -1496,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": sql_hash_sample(),
         "tfidf_topterms": sql_tfidf_topterms(),
         "stream_host_health": sql_stream_host_health(),
+        "stream_dedup": sql_stream_dedup(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "winnow_fingerprint": T.winnow_fingerprints_sql(),
         "media_features": sql_media_features(),

@@ -65,6 +65,11 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "text_quality_langid",
+    "pii_redact",
+    "quality_repetition",
+    "boilerplate_remove",
+    "hash_sample",
+    "tfidf_topterms",
     "doc_fingerprint",
     "winnow_fingerprint",
     "media_features",

@@ -118,6 +118,31 @@ def stream_events(
     )
 
 
+def stream_dedup(
+    spark: SparkSession,
+    events_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+) -> DataFrame:
+    """Streaming EXACT dedup: emit each distinct key combination once,
+    the first time it is seen, with state carried across micro-batches
+    (the streaming twin of batch SELECT DISTINCT — and of the
+    frontier's seen-URL gate). Output is the key set only: WHICH
+    physical row arrives first per key is micro-batch-order dependent,
+    the set of keys is not, so the result is deterministic and batch-
+    comparable.
+
+    State is one entry per distinct key. At 100 TB bound it: use
+    dropDuplicatesWithinWatermark when keys only repeat within an
+    event-time horizon, or the bloom/cuckoo seen-sidecar (bloom.py)
+    when they repeat forever."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+    )
+    return src.select(*keys).dropDuplicates(list(keys))
+
+
 def stream_sessions(
     spark: SparkSession,
     events_dir: str,

@@ -187,3 +187,56 @@ def test_stream_sessions_equals_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_dedup_equals_batch_distinct(spark, tmp_path):
+    src_dir = str(tmp_path / "ev_dd_src")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(4).write.parquet(src_dir)
+    out = ST.stream_dedup(spark, src_dir)
+    ST.run_available_now(out, "dd1", str(tmp_path / "ckpt_dd"), output_mode="append")
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.sql("SELECT * FROM dd1").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(src_dir).select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want and len(got) > 0
+    # emitted exactly once per key (no duplicate emissions across batches)
+    assert spark.sql("SELECT count(*) AS n FROM dd1").collect()[0]["n"] == len(want)
+
+
+def test_stream_dedup_state_survives_across_polls(spark, tmp_path):
+    """A key seen in poll 1 must NOT re-emit in poll 2 — the dedup
+    state is carried in the checkpoint, not per-drain."""
+    src_dir = str(tmp_path / "ev_dd2_src")
+    os.makedirs(src_dir)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200).cache()
+    ckpt = str(tmp_path / "ckpt_dd2")
+
+    sink = str(tmp_path / "dd2_out")
+
+    def drain():
+        # memory sinks cannot recover a checkpoint — use a file sink,
+        # the recoverable shape a real monitoring pipeline would use
+        q = (
+            ST.stream_dedup(spark, src_dir)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.write.mode("append").parquet(src_dir)
+    drain()
+    n_distinct = ev.select("user_id", "event_type").distinct().count()
+    assert spark.read.parquet(sink).count() == n_distinct
+
+    # append the SAME rows again: poll 2 must emit zero new rows
+    ev.write.mode("append").parquet(src_dir)
+    drain()
+    assert spark.read.parquet(sink).count() == n_distinct
