@@ -57,8 +57,14 @@ def test_query_matches_oracle(spark, duck01, name):
     assert got == want, f"{name}: values differ"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", ROWS_ONLY or [None])
 def test_rows_only_queries_run(spark, name):
+    if name is None:
+        # every query is oracle-gated — nothing rows-only remains; an
+        # empty parametrize would report as a suite SKIP, which reads
+        # like missing evidence rather than full coverage
+        assert ROWS_ONLY == []
+        return
     df = E.queries()[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
