@@ -69,7 +69,20 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load a fixture table, spread under-partitioned scans.
+
+    The test tables are single-row-group parquet files, so Spark's
+    scan yields ONE split regardless of maxPartitionBytes — every
+    per-row-heavy operator would run on one core of local[32]. A
+    production 100 TB table scans as thousands of splits; spreading a
+    too-small scan to defaultParallelism reproduces that shape (and is
+    a no-op exactly when the scan already has enough splits). Filters
+    and column pruning push through the Repartition node, so
+    PushedFilters/ReadSchema on the scan are unchanged."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------
