@@ -11,10 +11,15 @@ is reported. The measured job is the crawl detail pipeline
 bloom+exact seen dedup → robots gate → salted politeness pop → fetch
 join → extraction UDF.
 
-Each level runs in its OWN subprocess/JVM (a SparkContext's core count
-cannot be changed in-process); each does one warm-up pass then
-``--reps`` timed passes and reports the best (JIT + shuffle-service
-warmup excluded, same treatment both levels).
+Each timed pass runs in its OWN subprocess/JVM (a SparkContext's core
+count cannot be changed in-process) after a warm-up pass (JIT +
+python-worker spin-up excluded, same treatment both levels). The two
+levels are timed as ``--reps`` adjacent-in-time interleaved pairs —
+the sandbox VM's per-core clock drifts ±30% on a minutes scale, which
+a sequential all-N-then-all-4N schedule folds straight into the
+ratio; pairing cancels it, and the headline efficiency is the median
+of the per-pair ratios. Single-thread md5 markers bracket every pair
+so the drift itself is visible in the written evidence.
 
 Usage:  python jobs/scaling_bench.py [--mult 12] [--reps 2]
 Writes: BENCH/BASELINE.md (+ prints a JSON summary line)
@@ -71,6 +76,22 @@ def child(cpus: int, pages_path: str, reps: int) -> None:
     print(json.dumps({"cpus": cpus, "urls": best[0], "sec": best[1]}))
 
 
+def _cpu_marker(sec: float = 1.5) -> float:
+    """Single-thread md5 throughput — a drift marker for the sandbox
+    VM, whose per-core clock oscillates ±30% on a minutes scale
+    (measured; see BENCH/BASELINE.md). Logged around every timed pass
+    so ambient drift is visible in the evidence instead of being
+    baked into the efficiency number."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < sec:
+        hashlib.md5(str(n).encode()).hexdigest()
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
 def expand_pages(pages_path: str, mult: int, out_path: str) -> None:
     """Corpus expansion Spark-side: each page replicated ``mult`` times
     with a distinct URL (?rep=i) so dedup/pop see distinct keys while
@@ -124,30 +145,58 @@ def main() -> None:
     if not os.path.exists(big):
         expand_pages(small, args.mult, big)
 
-    results = {}
     levels = tuple(int(x) for x in args.levels.split(","))
     assert levels[1] == 4 * levels[0], "protocol is N vs 4N"
-    for cpus in levels:
-        t0 = time.time()
+
+    def one_pass(cpus: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child-cpus", str(cpus),
-             "--pages", big, "--reps", str(args.reps)],
+             "--pages", big, "--reps", "1"],
             capture_output=True, text=True, cwd=REPO, check=True,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        results[cpus]["wall_total"] = round(time.time() - t0, 1)
+        return json.loads(line)
 
-    r8, r32 = results[levels[0]], results[levels[1]]
-    rate8 = r8["urls"] / r8["sec"]
-    rate32 = r32["urls"] / r32["sec"]
-    eff = rate32 / (4 * rate8)
+    # INTERLEAVED pairs: the sandbox VM's per-core clock drifts ±30%
+    # on a minutes scale (the cpu_markers series evidences it per
+    # run), so timing all N reps and then all 4N reps folds that
+    # drift straight into the efficiency ratio. Adjacent-in-time
+    # N/4N pairs mostly cancel it; the MEDIAN of per-pair
+    # efficiencies is the headline — robust to a drifted pair
+    # without cherry-picking a best one.
+    pairs, markers = [], []
+    urls = None
+    for _ in range(args.reps):
+        markers.append(round(_cpu_marker()))
+        a = one_pass(levels[0])
+        b = one_pass(levels[1])
+        urls = a["urls"]
+        rate_a, rate_b = a["urls"] / a["sec"], b["urls"] / b["sec"]
+        pairs.append({
+            "sec_n": round(a["sec"], 2), "sec_4n": round(b["sec"], 2),
+            "rate_n": round(rate_a, 1), "rate_4n": round(rate_b, 1),
+            "eff": round(rate_b / (4 * rate_a), 3),
+        })
+    markers.append(round(_cpu_marker()))
+
+    import statistics
+
+    eff = statistics.median(p["eff"] for p in pairs)
+    best_n = max(p["rate_n"] for p in pairs)
+    best_4n = max(p["rate_4n"] for p in pairs)
     summary = {
-        "urls": r8["urls"],
-        f"local{levels[0]}": {"sec": round(r8["sec"], 2), "urls_per_s": round(rate8, 1)},
-        f"local{levels[1]}": {"sec": round(r32["sec"], 2), "urls_per_s": round(rate32, 1)},
+        "urls": urls,
+        f"local{levels[0]}": {"best_urls_per_s": best_n},
+        f"local{levels[1]}": {"best_urls_per_s": best_4n},
+        "pairs": pairs,
+        "cpu_markers_md5_per_s": markers,
         "scaling_efficiency": round(eff, 3),
     }
+    pair_rows = "\n".join(
+        f"| {i + 1} | {p['sec_n']:.2f} | {p['rate_n']:,.1f} | {p['sec_4n']:.2f} "
+        f"| {p['rate_4n']:,.1f} | {p['eff']:.3f} |"
+        for i, p in enumerate(pairs)
+    )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — crawl-pipeline throughput + scaling efficiency
@@ -157,21 +206,29 @@ dedup → robots gate → salted per-host politeness pop → fetch join →
 byte-identical extraction UDF), `crawlspark/pipeline_bench.py`.
 
 Input: materialized parquet of the deterministic "small" fixture
-expanded ×{args.mult} ({r8["urls"]:,} URLs extracted per pass; identical
-bytes for both runs). Per the sandbox protocol (no real cluster), N vs
-4N executors is evidenced as local[{levels[0]}] vs local[{levels[1]}] on the same
+expanded ×{args.mult} ({urls:,} URLs extracted per pass; identical
+bytes for every run). Per the sandbox protocol (no real cluster), N
+vs 4N executors is evidenced as local[{levels[0]}] vs local[{levels[1]}] on the same
 input (a pair in the regime where this VM itself scales linearly —
 at full 32-core occupancy the VM throttles per-core clocks, a
-sandbox artifact unrelated to the engine; see docs/SCALE.md),
-one JVM per level, warm-up pass excluded, best of {args.reps} timed reps.
+sandbox artifact unrelated to the engine; see docs/SCALE.md).
 
-| parallelism | wall (s) | URLs/s |
-|---|---|---|
-| local[{levels[0]}]  (N)  | {r8["sec"]:.2f} | {rate8:,.1f} |
-| local[{levels[1]}] (4N) | {r32["sec"]:.2f} | {rate32:,.1f} |
+Protocol (round 3): the VM's per-core clock drifts ±30% on a
+minutes scale (single-thread md5 markers bracketing each pair:
+{markers} hashes/s), so the two levels are timed as
+ADJACENT-IN-TIME INTERLEAVED PAIRS — each pair is one fresh
+local[{levels[0]}] JVM then one fresh local[{levels[1]}] JVM, each with its own
+warm-up pass then one timed pass. Drift moves both sides of a pair
+together and cancels in the ratio; the headline is the MEDIAN of
+the per-pair efficiencies ({args.reps} pairs, no cherry-picking).
 
-**Scaling efficiency eff = rate(4N) / (4 × rate(N)) = {eff:.3f}**
-(target ≥ 0.8, BASELINE.json `metric`).
+| pair | N wall (s) | N URLs/s | 4N wall (s) | 4N URLs/s | eff |
+|---|---|---|---|---|---|
+{pair_rows}
+
+**Scaling efficiency (median of pairs) = {eff:.3f}**
+(target ≥ 0.8, BASELINE.json `metric`). Best observed rates:
+local[{levels[0]}] {best_n:,.1f} URLs/s, local[{levels[1]}] {best_4n:,.1f} URLs/s.
 
 Reference baseline for context: the production reference sustains
 ≈0.0013 URLs/s end-to-end (>10k postings over ~3 months,
