@@ -149,9 +149,13 @@ def main() -> None:
     assert levels[1] == 4 * levels[0], "protocol is N vs 4N"
 
     def one_pass(cpus: int) -> dict:
+        # best of TWO full passes inside the JVM: the small warm-up
+        # alone leaves JIT half-cold and the first full pass pays it;
+        # the second pass is the steady-state rate (identical
+        # treatment at both levels, so the ratio stays fair)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child-cpus", str(cpus),
-             "--pages", big, "--reps", "1"],
+             "--pages", big, "--reps", "2"],
             capture_output=True, text=True, cwd=REPO, check=True,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -217,10 +221,15 @@ Protocol (round 3): the VM's per-core clock drifts ±30% on a
 minutes scale (single-thread md5 markers bracketing each pair:
 {markers} hashes/s), so the two levels are timed as
 ADJACENT-IN-TIME INTERLEAVED PAIRS — each pair is one fresh
-local[{levels[0]}] JVM then one fresh local[{levels[1]}] JVM, each with its own
-warm-up pass then one timed pass. Drift moves both sides of a pair
-together and cancels in the ratio; the headline is the MEDIAN of
-the per-pair efficiencies ({args.reps} pairs, no cherry-picking).
+local[{levels[0]}] JVM then one fresh local[{levels[1]}] JVM, each doing a small
+warm-up pass then TWO full timed passes of which the best counts
+(the first full pass still pays residual JIT; identical treatment
+at both levels keeps the ratio fair). Drift moves both sides of a
+pair together and cancels in the ratio; the headline is the MEDIAN
+of the per-pair efficiencies ({args.reps} pairs, no cherry-picking).
+Absolute URLs/s are weather-dependent on this VM (the markers above
+show the window this run landed in) — the efficiency ratio is the
+contract metric.
 
 | pair | N wall (s) | N URLs/s | 4N wall (s) | 4N URLs/s | eff |
 |---|---|---|---|---|---|
