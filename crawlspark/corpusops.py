@@ -284,20 +284,52 @@ def boilerplate_remove(
     min_docs: int = BOILER_MIN_DOCS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "pandas",
 ) -> DataFrame:
     """(doc_id, n_segs, n_boiler, clean_text): drop every segment that
     appears in >= min_docs DISTINCT docs, rejoin the survivors in
     original order.
+
+    ``impl='pandas'`` (default) chunks tokens per Arrow batch — the
+    Column build evaluates an interpreted slice+concat lambda per
+    chunk (the simhash_df disease); plain Python string splits are
+    exact-identical (whitespace split + ' '.join round-trips), so the
+    two impls agree byte-for-byte (tests/test_corpusops.py). The
+    ``'expr'`` build mirrors the DuckDB twin.
 
     Scale path: posexplode → groupBy(seg) countDistinct (map-side
     partial agg; the frequency threshold keeps the boilerplate side a
     tiny fraction of the segment space) → anti-join → reassemble via
     one doc_id shuffle. No driver-side collect; AQE picks broadcast
     for the boilerplate side when it fits."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        segments_col(tokens_col(F.col(text_col))).alias("segs"),
-    )
+    if impl == "pandas":
+        import re
+
+        n = SEG_N
+        # byte-faithful tokens_col: F.trim strips ASCII spaces only,
+        # Java \s is ASCII-only, and Spark's split KEEPS leading and
+        # trailing empty tokens — re.split with the explicit class
+        # reproduces all three (probed against Spark; see test)
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        def batches(it):
+            for pdf in it:
+                segs = []
+                for txt in pdf[text_col]:
+                    toks = java_ws.split(txt.lower().strip(" "))
+                    segs.append(
+                        [" ".join(toks[i : i + n]) for i in range(0, len(toks), n)]
+                    )
+                yield pd.DataFrame({"doc_id": pdf[id_col], "segs": segs})
+
+        base = docs.select(id_col, text_col).mapInPandas(
+            batches, "doc_id bigint, segs array<string>"
+        )
+    else:
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            segments_col(tokens_col(F.col(text_col))).alias("segs"),
+        )
     ex = base.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
     boiler = (
         ex.groupBy("seg")

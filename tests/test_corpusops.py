@@ -117,6 +117,19 @@ def test_boilerplate_order_preserved(spark):
     assert out[1]["clean_text"] == "aa bb cc gg hh ii"
 
 
+def test_boilerplate_pandas_equals_expr(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fast = sorted(map(tuple, C.boilerplate_remove(docs).collect()))
+    slow = sorted(map(tuple, C.boilerplate_remove(docs, impl="expr").collect()))
+    assert fast == slow
+    # edge whitespace: Spark's split keeps leading/trailing empty
+    # tokens and trims ASCII spaces only — the Python path must match
+    edge = _docs(spark, [(1, "\tx y", "en"), (2, "z \t", "en"), (3, "   ", "en")])
+    f = sorted(map(tuple, C.boilerplate_remove(edge).collect()))
+    s = sorted(map(tuple, C.boilerplate_remove(edge, impl="expr").collect()))
+    assert f == s
+
+
 # ---------------------------------------------------------------------------
 # hash sampling
 # ---------------------------------------------------------------------------
