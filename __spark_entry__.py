@@ -1307,6 +1307,80 @@ def sql_tfidf_topterms() -> str:
     return tfidf_topterms_sql()
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus preparation — the composition a real
+    training-data pipeline runs, as ONE lazy plan: PII redaction →
+    repetition-quality filter → corpus-level boilerplate removal (on
+    the surviving subset) → exact dedup (keep min doc_id) → per-
+    language deterministic downsample. Output: the surviving corpus
+    with per-doc provenance stats. The DuckDB twin chains the same
+    five stage generators as CTEs — one oracle for the whole DAG."""
+    from crawlspark.corpusops import (
+        boilerplate_remove,
+        hash_sample_df,
+        pii_redact_df,
+        repetition_quality_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    red = pii_redact_df(docs).select("doc_id", "clean_text")
+    rep = repetition_quality_df(red, text_col="clean_text").select(
+        "doc_id", "keep_repetition"
+    )
+    kept = (
+        red.join(rep, "doc_id")
+        .where(F.col("keep_repetition"))
+        .select("doc_id", "clean_text")
+    )
+    bp = boilerplate_remove(kept, text_col="clean_text")
+    # exact dedup on the fully-cleaned text: min doc_id survives
+    ded = (
+        bp.groupBy(F.md5(F.trim(F.lower(F.col("clean_text")))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    final = bp.join(ded, "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "n_boiler", "n_copies", "clean_text")
+    sample = hash_sample_df(final, id_col="doc_id", strata_col="lang").select(
+        "doc_id", "bucket"
+    )
+    return sample.join(final, "doc_id").select(
+        "doc_id", "lang", "bucket", "n_boiler", "n_copies",
+        F.length("clean_text").cast("bigint").alias("n_chars_clean"),
+    )
+
+
+def sql_corpus_pipeline() -> str:
+    from crawlspark.corpusops import (
+        boilerplate_remove_sql,
+        hash_sample_sql,
+        pii_redact_sql,
+        repetition_quality_sql,
+    )
+
+    red = pii_redact_sql("documents")
+    rep = repetition_quality_sql("red", text_col="clean_text")
+    bp = boilerplate_remove_sql("kept", text_col="clean_text")
+    smp = hash_sample_sql("final", strata_col="lang")
+    return f"""
+    WITH red AS ({red}),
+    rep AS ({rep}),
+    kept AS (SELECT red.doc_id, red.clean_text FROM red
+             JOIN rep ON red.doc_id = rep.doc_id WHERE rep.keep_repetition),
+    bp AS ({bp}),
+    ded AS (SELECT md5(trim(lower(clean_text))) AS h,
+                   min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM bp GROUP BY 1),
+    final AS (SELECT bp.doc_id, d.lang, bp.n_boiler, ded.n_copies,
+                     bp.clean_text
+              FROM bp JOIN ded ON bp.doc_id = ded.doc_id
+              JOIN documents d ON bp.doc_id = d.doc_id),
+    smp AS ({smp})
+    SELECT smp.doc_id, smp.lang, smp.bucket, final.n_boiler,
+           final.n_copies, length(final.clean_text)::BIGINT AS n_chars_clean
+    FROM smp JOIN final ON smp.doc_id = final.doc_id"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup drained with availableNow: each distinct
     (user_id, event_type) emitted once, first-seen, state across
@@ -1470,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "stream_host_health": q_stream_host_health,
         "stream_dedup": q_stream_dedup,
+        "corpus_pipeline": q_corpus_pipeline,
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
         "media_features": q_media_features,
@@ -1536,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topterms": sql_tfidf_topterms(),
         "stream_host_health": sql_stream_host_health(),
         "stream_dedup": sql_stream_dedup(),
+        "corpus_pipeline": sql_corpus_pipeline(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "winnow_fingerprint": T.winnow_fingerprints_sql(),
         "media_features": sql_media_features(),

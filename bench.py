@@ -70,6 +70,7 @@ HEADLINE = [
     "boilerplate_remove",
     "hash_sample",
     "tfidf_topterms",
+    "corpus_pipeline",
     "doc_fingerprint",
     "winnow_fingerprint",
     "media_features",
