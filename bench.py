@@ -86,6 +86,21 @@ def _force(df) -> int:
     return 0
 
 
+def _cpu_marker(sec: float = 1.5) -> int:
+    """Single-thread md5 throughput — this sandbox VM's per-core clock
+    drifts ±30%+ on a minutes scale (docs/SCALE.md), so absolute
+    wall times are only comparable across rounds relative to the
+    marker. Reported at start and end of the run."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < sec:
+        hashlib.md5(str(n).encode()).hexdigest()
+        n += 1
+    return round(n / (time.perf_counter() - t0))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -103,6 +118,7 @@ def main() -> None:
     qs = entry.queries()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    marker_start = _cpu_marker()
 
     # warm-up: JVM codegen + python UDF workers, so query timings
     # measure the operators rather than session spin-up
@@ -160,6 +176,7 @@ def main() -> None:
                     "urls_per_s": round(n_urls / crawl_sec, 1),
                     "samples": [round(t, 3) for _, t in crawl_runs],
                 },
+                "cpu_marker_md5_per_s": [marker_start, _cpu_marker()],
                 "cpus": cpus,
             }
         )
