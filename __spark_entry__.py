@@ -61,11 +61,19 @@ Operator → query map (SURVEY §2 ids):
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _sink_id(path: str) -> str:
+    """Deterministic memory-sink table suffix — Python's salted hash()
+    would vary across runs, violating the repo's no-nondeterminism
+    discipline even where only a name is at stake (VERDICT r3 #4)."""
+    return hashlib.sha256(path.encode()).hexdigest()[:8]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1099,7 +1107,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(src_dir, "events.parquet"),
     )
     out = stream_sessions(spark, src_dir)
-    name = f"drv_sess_{abs(hash(sf_dir)) % 10**8}"
+    name = f"drv_sess_{_sink_id(sf_dir)}"
     run_available_now(out, name, tempfile.mkdtemp(prefix="ckpt_drv_sess_"))
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events"
@@ -1395,7 +1403,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(src_dir, "events.parquet"),
     )
     out = stream_dedup(spark, src_dir)
-    name = f"drv_sdedup_{abs(hash(sf_dir)) % 10**8}"
+    name = f"drv_sdedup_{_sink_id(sf_dir)}"
     run_available_now(
         out, name, tempfile.mkdtemp(prefix="ckpt_drv_sdedup_"), output_mode="append"
     )
@@ -1432,7 +1440,7 @@ def q_stream_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.run(2, resume=False)
     out = stream_host_health(spark, cat.root)
-    name = f"drv_hh_{abs(hash(cat.root)) % 10**8}"
+    name = f"drv_hh_{_sink_id(cat.root)}"
     run_available_now(
         out, name, tempfile.mkdtemp(prefix="ckpt_drv_hh_"), output_mode="update"
     )

@@ -180,7 +180,10 @@ def repetition_quality_df(
                     "n_3grams": [], "n_distinct_3grams": [],
                 }
                 for tk in pdf["toks"]:
-                    tk = list(tk)
+                    # NULL toks (NULL text): the expr twin's size(NULL)>=n
+                    # predicate is NULL → falsy → the `whole` branch
+                    # concat_ws(NULL) = "" — i.e. identical to empty toks
+                    tk = list(tk) if tk is not None else []
                     for n, (tot_k, dis_k, top_k) in (
                         (2, ("n_2grams", "n_distinct_2grams", "top_2gram_count")),
                         (3, ("n_3grams", "n_distinct_3grams", None)),
@@ -316,6 +319,11 @@ def boilerplate_remove(
             for pdf in it:
                 segs = []
                 for txt in pdf[text_col]:
+                    if txt is None:
+                        # expr twin: segments_col(NULL toks) is NULL →
+                        # (n_segs NULL, n_boiler NULL, clean_text '')
+                        segs.append(None)
+                        continue
                     toks = java_ws.split(txt.lower().strip(" "))
                     segs.append(
                         [" ".join(toks[i : i + n]) for i in range(0, len(toks), n)]

@@ -169,8 +169,17 @@ def _assign_bucket_pandas(corpus: DataFrame, centroid_rows: list) -> DataFrame:
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round((M / np.linalg.norm(M, axis=1, keepdims=True)) @ Cn.T, 9)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            if not norms.all():
+                # the expr twin raises DIVIDE_BY_ZERO here (ANSI mode);
+                # an all-NaN similarity row would otherwise silently
+                # argmax to an arbitrary bucket — fail just as loudly
+                bad = pdf["nid"].iloc[int(np.flatnonzero(norms == 0)[0])]
+                raise ValueError(
+                    f"zero-norm embedding (nid={bad}) has no cosine "
+                    "bucket; filter zero vectors before ivf_topk"
+                )
+            sims = np.round((M / norms) @ Cn.T, 9)
             # argmax with ties toward the LARGER cid (cids ascending →
             # scan reversed, take the last maximal column)
             idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)

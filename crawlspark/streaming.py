@@ -43,7 +43,9 @@ def _committed_dir_filter(catalog_root: str, table: str):
     catalog's recovery contract says are never referenced again — and
     (b) dirs a concurrent expire_snapshots may delete; both would skew
     the monitoring counts (ADVICE r2). The committed set is resolved
-    when the source is built, i.e. per monitoring poll."""
+    ONCE, when the source is built — so a query over this filter only
+    sees snapshots committed before it started (see stream_crawl_log's
+    poll contract)."""
     import json
 
     manifest_path = os.path.join(catalog_root, table, "manifest.json")
@@ -72,7 +74,17 @@ def stream_crawl_log(
 ) -> DataFrame:
     """Windowed per-host fetch health over a live catalog's crawl_log
     files. No event-time column exists on the log (rounds are logical
-    time), so rounds map to processing buckets via ``round`` grouping."""
+    time), so rounds map to processing buckets via ``round`` grouping.
+
+    Poll contract (IMPORTANT): the committed-snapshot filter is frozen
+    at build time, so this is a *per-poll* source — build the stream,
+    drain it (``availableNow``/``processAllAvailable``), stop, and
+    rebuild on the next poll (exactly what tests and the driver queries
+    do; the checkpoint makes re-polls incremental). A long-running
+    continuous query would silently drop every round committed after it
+    started: a plain file source cannot re-read the manifest per
+    micro-batch, and the snap-* glob alone would double-count orphan
+    dirs (the ADVICE r2 bug this filter exists to prevent)."""
     src = (
         spark.readStream.schema(CRAWL_LOG_SCHEMA)
         .option("maxFilesPerTrigger", 16)

@@ -109,9 +109,8 @@ class SnapshotCatalog:
                     # no caller mixes the modes; fail loudly if one does
                     raise ValueError(
                         f"table {table}: append onto a bucketed snapshot "
-                        "(id {0}) is not supported — use write_bucketed".format(
-                            base["id"]
-                        )
+                        f"(id {base['id']}) is not supported — use "
+                        "write_bucketed"
                     )
                 dirs = base["dirs"] + dirs
         entry = {

@@ -81,6 +81,17 @@ def test_repetition_pandas_equals_expr(spark):
     assert len(fast) == docs.count()
 
 
+def test_repetition_null_text_pandas_equals_expr(spark):
+    # NULL text must not crash the pandas fast path (ADVICE r3); both
+    # impls take the short-doc branch: grams = [""] → counts 1/1/1
+    docs = _docs(spark, [(1, None, "en"), (2, "a b c a b c", "en")])
+    fast = sorted(map(tuple, C.repetition_quality_df(docs).collect()))
+    slow = sorted(map(tuple, C.repetition_quality_df(docs, impl="expr").collect()))
+    assert fast == slow
+    row = {t[0]: t for t in fast}[1]
+    assert row[1:6] == (1, 1, 1, 1, 1)
+
+
 # ---------------------------------------------------------------------------
 # boilerplate removal
 # ---------------------------------------------------------------------------
@@ -128,6 +139,16 @@ def test_boilerplate_pandas_equals_expr(spark):
     f = sorted(map(tuple, C.boilerplate_remove(edge).collect()))
     s = sorted(map(tuple, C.boilerplate_remove(edge, impl="expr").collect()))
     assert f == s
+
+
+def test_boilerplate_null_text_pandas_equals_expr(spark):
+    # NULL text (ADVICE r3): segs NULL → (n_segs NULL, n_boiler NULL,
+    # clean_text '') on BOTH impls; posexplode drops the row upstream
+    docs = _docs(spark, [(1, None, "en"), (2, "p q r", "en")])
+    fast = sorted(map(tuple, C.boilerplate_remove(docs).collect()))
+    slow = sorted(map(tuple, C.boilerplate_remove(docs, impl="expr").collect()))
+    assert fast == slow
+    assert fast[0] == (1, None, None, "")
 
 
 # ---------------------------------------------------------------------------

@@ -100,3 +100,18 @@ def test_knn_join_pandas_matches_bruteforce(emb, emb_np):
         for r in S.brute_force_topk(emb, n_queries=10, k=5).collect()
     }
     assert got == want
+
+
+def test_assign_bucket_zero_norm_fails_loudly_both_impls(spark):
+    """A zero-norm vector has no cosine bucket. The expr path raises
+    Spark's ANSI DIVIDE_BY_ZERO; the numpy fast path must fail just as
+    loudly (ADVICE r3 — silently argmax-ing an all-NaN row would bucket
+    the vector arbitrarily and diverge from the oracle twin)."""
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "nid long, nv array<float>"
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        S._assign_bucket(corpus, cents).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        S._assign_bucket_pandas(corpus, cents).collect()
