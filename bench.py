@@ -10,12 +10,20 @@ the max-min spread per query is emitted so ambient VM drift is visible
 instead of being baked into the headline). The crawl pipeline gets the
 same treatment: one discarded warm-up pass, then best-of-REPS.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: best_sec, ...}, "samples": {name: [sec, ...]},
+Prints ONE COMPACT JSON line as the LAST line of stdout:
+  {"metric": ..., "value": total_best_sec, "value_median": ...,
+   "unit": "sec", "queries": {name: best_sec, ...},
    "protocol": {"reps": R, "stat": "min", "warmup": true}, "sf": ...,
-   "crawl": {"urls": N, "sec": t, "urls_per_s": r, "samples": [...]},
-   "cpus": N}
+   "crawl": {"urls": N, "sec": t, "urls_per_s": r},
+   "cpu_marker_md5_per_s": [...], "cpus": N,
+   "samples_file": "BENCH/samples_latest.json"}
+
+The per-run samples and per-query medians go to BENCH/
+samples_latest.json, NOT the stdout line: r3 inlined them and the line
+outgrew the driver's stdout tail capture, so BENCH_r03.json recorded
+"parsed": null (VERDICT r3 wrong #2 / next #1). The median is emitted
+alongside the min because min overstates sustained throughput
+(ADVICE r3) — cross-round comparisons should prefer the median file.
 
 Brute-force O(n²) pair queries are excluded from the headline set at
 bench scale (their LSH/banded scale-path variants ARE included); they
@@ -73,9 +81,7 @@ HEADLINE = [
     "corpus_pipeline",
     "doc_fingerprint",
     "winnow_fingerprint",
-    "media_features",
-    "media_resize",
-    "media_frames",
+    "media_features",  # one-pass profile: features + resize + frames
 ]
 
 
@@ -154,32 +160,63 @@ def main() -> None:
     crawl_runs = [measure_throughput(spark, pages, robots_df) for _ in range(reps)]
     n_urls, crawl_sec = min(crawl_runs, key=lambda t: t[1])
 
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return round(s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 3)
+
+    medians = {n: _median(rs) for n, rs in samples.items()}
+    crawl_secs = [round(t, 3) for _, t in crawl_runs]
     total = round(sum(timings.values()) + crawl_sec, 3)
+    total_median = round(sum(medians.values()) + _median(crawl_secs), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    markers = [marker_start, _cpu_marker()]
+
+    # full per-run evidence → file (inlining it in the stdout line
+    # overflowed the driver's tail capture in r3)
+    samples_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "samples_latest.json")
+    os.makedirs(os.path.dirname(samples_path), exist_ok=True)
+    with open(samples_path, "w") as f:
+        json.dump(
+            {
+                "samples": samples,
+                "medians": medians,
+                "crawl_samples": crawl_secs,
+                "protocol": {"reps": reps, "stat": "min", "warmup": True},
+                "sf": sf_val,
+                "cpus": cpus,
+                "cpu_marker_md5_per_s": markers,
+            },
+            f,
+            indent=1,
+        )
+
     print(
         json.dumps(
             {
                 "metric": "headline suite + crawl detail-pipeline wall time",
                 "value": total,
+                "value_median": total_median,
                 "unit": "sec",
                 "queries": timings,
-                "samples": samples,
                 "protocol": {"reps": reps, "stat": "min", "warmup": True},
                 "sf": sf_val,
                 "crawl": {
                     "urls": n_urls,
                     "sec": round(crawl_sec, 3),
                     "urls_per_s": round(n_urls / crawl_sec, 1),
-                    "samples": [round(t, 3) for _, t in crawl_runs],
                 },
-                "cpu_marker_md5_per_s": [marker_start, _cpu_marker()],
+                "cpu_marker_md5_per_s": markers,
                 "cpus": cpus,
+                "samples_file": "BENCH/samples_latest.json",
             }
-        )
+        ),
+        flush=True,
     )
 
 

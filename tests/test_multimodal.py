@@ -113,3 +113,60 @@ def test_sample_frames_fanout(spark):
         assert len(frs) <= 8
         assert all(r["n_frames"] == n for r in frs)
         assert frs[0]["frame_sha"] == hashlib.sha256(payload + b":0").hexdigest()
+
+
+def test_media_profile_equals_composition(spark, media):
+    """The folded one-pass profile must agree column-for-column with
+    the three row-level operators it bundles (features ∪ resize ∪
+    frame-sample summary)."""
+    import math
+
+    prof = {r["media_id"]: r for r in M.media_profile(media, max_dim=128, max_frames=8).collect()}
+    feats = {r["media_id"]: r for r in M.extract_features(media).collect()}
+    res = {r["media_id"]: r for r in M.resize_media(media, max_dim=128).collect()}
+    frames = {}
+    for r in M.sample_frames(media, max_frames=8).collect():
+        frames.setdefault(r["media_id"], []).append(r)
+    assert set(prof) == set(feats) == set(res) == set(frames)
+    for mid, p in prof.items():
+        assert (p["n_bytes"], p["sha256"]) == (feats[mid]["n_bytes"], feats[mid]["sha256"])
+        assert (p["width"], p["height"], p["new_width"], p["new_height"]) == (
+            res[mid]["width"], res[mid]["height"],
+            res[mid]["new_width"], res[mid]["new_height"])
+        frs = sorted(frames[mid], key=lambda r: r["frame_idx"])
+        assert p["n_frames"] == frs[0]["n_frames"]
+        assert p["n_sampled"] == len(frs)
+        sig = hashlib.sha256(",".join(r["frame_sha"] for r in frs).encode()).hexdigest()
+        assert p["frames_sig"] == sig
+
+
+def _duck_docs(spark):
+    con = duckdb.connect()
+    pdf = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    con.register("documents_raw", pdf)
+    con.execute("CREATE TABLE documents AS SELECT * FROM documents_raw")
+    return con
+
+
+def test_media_profile_sql_twin(spark, media):
+    con = _duck_docs(spark)
+    got = sorted(map(tuple, M.media_profile(media, max_dim=128, max_frames=8).collect()))
+    want = sorted(map(tuple, con.execute(M.media_profile_sql(max_dim=128, max_frames=8)).fetchall()))
+    assert got == want
+
+
+def test_media_resize_sql_twin(spark, media):
+    """resize/frames left the driver's 50-query correctness window in
+    round 4 (folded into media_features) — keep their DuckDB twins
+    gated here with the driver-identical comparison."""
+    con = _duck_docs(spark)
+    got = sorted(map(tuple, M.resize_media(media, max_dim=128).collect()))
+    want = sorted(map(tuple, con.execute(M.media_resize_sql(max_dim=128)).fetchall()))
+    assert got == want
+
+
+def test_media_frames_sql_twin(spark, media):
+    con = _duck_docs(spark)
+    got = sorted(map(tuple, M.sample_frames(media, max_frames=8).collect()))
+    want = sorted(map(tuple, con.execute(M.media_frames_sql(max_frames=8)).fetchall()))
+    assert got == want
