@@ -1332,18 +1332,24 @@ def sql_tfidf_topterms() -> str:
 
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus preparation — the composition a real
-    training-data pipeline runs, as ONE lazy plan: PII redaction →
+    training-data pipeline runs, as ONE DAG: PII redaction →
     repetition-quality filter → corpus-level boilerplate removal (on
-    the surviving subset) → exact dedup (keep min doc_id) → per-
+    the surviving subset) → exact dedup (keep min doc_id) → MinHash-LSH
+    near-dup clustering (connected components; only cluster
+    representatives survive, carrying their cluster size) → per-
     language deterministic downsample. Output: the surviving corpus
     with per-doc provenance stats. The DuckDB twin chains the same
-    five stage generators as CTEs — one oracle for the whole DAG."""
+    seven stage generators as CTEs (the near-dup stage as a nested
+    recursive CTE) — one oracle for the whole DAG. The near-dup stage
+    is non-vacuous on the fixture: 7 LSH pairs survive exact dedup at
+    sf0.01 and collapse here."""
     from crawlspark.corpusops import (
         boilerplate_remove,
         hash_sample_df,
         pii_redact_df,
         repetition_quality_df,
     )
+    from crawlspark.textops import dup_clusters, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     red = pii_redact_df(docs).select("doc_id", "clean_text")
@@ -1361,14 +1367,33 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp.groupBy(F.md5(F.trim(F.lower(F.col("clean_text")))).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
-    final = bp.join(ded, "doc_id").join(
-        docs.select("doc_id", "lang"), "doc_id"
-    ).select("doc_id", "lang", "n_boiler", "n_copies", "clean_text")
-    sample = hash_sample_df(final, id_col="doc_id", strata_col="lang").select(
+    # persist the exact-dedup survivors: they feed the LSH band
+    # pipeline, both sides of its verify join, the cluster-label init,
+    # and the representative join — at corpus scale this is the
+    # intermediate table you would materialize between stages
+    final = (
+        bp.join(ded, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_boiler", "n_copies", "clean_text")
+        .persist()
+    )
+    # near-dup collapse: LSH pairs → connected components → keep the
+    # min-id representative of each cluster with its collapse count
+    pairs = minhash_lsh_pairs(final, threshold=0.5, text_col="clean_text")
+    clus = dup_clusters(final, pairs)
+    sizes = clus.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_neardups")
+    )
+    reps = (
+        final.join(clus, "doc_id")
+        .where(F.col("doc_id") == F.col("cluster"))
+        .join(sizes, "cluster")
+    )
+    sample = hash_sample_df(reps, id_col="doc_id", strata_col="lang").select(
         "doc_id", "bucket"
     )
-    return sample.join(final, "doc_id").select(
-        "doc_id", "lang", "bucket", "n_boiler", "n_copies",
+    return sample.join(reps, "doc_id").select(
+        "doc_id", "lang", "bucket", "n_boiler", "n_copies", "n_neardups",
         F.length("clean_text").cast("bigint").alias("n_chars_clean"),
     )
 
@@ -1380,11 +1405,16 @@ def sql_corpus_pipeline() -> str:
         pii_redact_sql,
         repetition_quality_sql,
     )
+    from crawlspark.textops import dup_clusters_sql, minhash_lsh_pairs_sql
 
     red = pii_redact_sql("documents")
     rep = repetition_quality_sql("red", text_col="clean_text")
     bp = boilerplate_remove_sql("kept", text_col="clean_text")
-    smp = hash_sample_sql("final", strata_col="lang")
+    clus = dup_clusters_sql(
+        minhash_lsh_pairs_sql(table="final", threshold=0.5, text_col="clean_text"),
+        table="final",
+    )
+    smp = hash_sample_sql("repd", strata_col="lang")
     return f"""
     WITH red AS ({red}),
     rep AS ({rep}),
@@ -1398,10 +1428,17 @@ def sql_corpus_pipeline() -> str:
                      bp.clean_text
               FROM bp JOIN ded ON bp.doc_id = ded.doc_id
               JOIN documents d ON bp.doc_id = d.doc_id),
+    clus AS ({clus}),
+    sizes AS (SELECT cluster, count(*) AS n_neardups FROM clus GROUP BY cluster),
+    repd AS (SELECT f.*, s.n_neardups
+             FROM final f
+             JOIN clus c ON f.doc_id = c.doc_id AND f.doc_id = c.cluster
+             JOIN sizes s ON c.cluster = s.cluster),
     smp AS ({smp})
-    SELECT smp.doc_id, smp.lang, smp.bucket, final.n_boiler,
-           final.n_copies, length(final.clean_text)::BIGINT AS n_chars_clean
-    FROM smp JOIN final ON smp.doc_id = final.doc_id"""
+    SELECT smp.doc_id, smp.lang, smp.bucket, repd.n_boiler,
+           repd.n_copies, repd.n_neardups,
+           length(repd.clean_text)::BIGINT AS n_chars_clean
+    FROM smp JOIN repd ON smp.doc_id = repd.doc_id"""
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
