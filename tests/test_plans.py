@@ -64,3 +64,25 @@ def test_minhash_band_join_has_no_cartesian(spark):
     plan = _plan(E.queries()["dedup_minhash_lsh"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spread_gate_leaves_small_scans_alone(spark):
+    """Round-4 gate: shuffle-light tables (events/orders/...) must NOT
+    pay the spread exchange — it was pure overhead (the r3 ~2×
+    small-query regressions). Per-row-heavy tables still spread."""
+    ev = E._t(spark, SF_DIR, "events")
+    assert ev.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    # explicit opt-in still works (Arrow canonicalizer over events)
+    ev_spread = E._t(spark, SF_DIR, "events", spread=True)
+    assert (
+        ev_spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_corpus_pipeline_has_no_cartesian(spark):
+    """The 7-stage flagship DAG (incl. LSH band join + components) must
+    never fall back to a cartesian/BNL join."""
+    plan = _plan(E.queries()["corpus_pipeline"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
