@@ -240,3 +240,53 @@ def test_stream_dedup_state_survives_across_polls(spark, tmp_path):
     ev.write.mode("append").parquet(src_dir)
     drain()
     assert spark.read.parquet(sink).count() == n_distinct
+
+
+def test_stream_crawl_log_per_poll_rebuild_sees_new_rounds(spark, tiny_pages, tmp_path):
+    """The committed-snapshot filter is frozen when the stream is built
+    (ADVICE r3), so the module contract is REBUILD-PER-POLL: a fresh
+    stream_crawl_log over the same checkpoint must (a) pick up rounds
+    committed after the previous poll's stream was built and (b) read
+    only the NEW snapshots' files (checkpoint-incremental), not re-scan
+    the old ones."""
+    import tempfile as _tf
+
+    from crawlspark.fixtures import gen_seeds, politeness_rows, robots_rows
+    from crawlspark.scheduler import CrawlEngine
+    from crawlspark.tableio import SnapshotCatalog
+
+    cat = SnapshotCatalog(_tf.mkdtemp(), spark)
+    mk = lambda: CrawlEngine(
+        spark, cat, tiny_pages, gen_seeds("tiny"), politeness_rows(),
+        robots_rows(42, "tiny"), round_seconds=600.0,
+    )
+    mk().run(2, resume=False)
+    log_glob = os.path.join(cat.root, "crawl_log", "snap-*")
+    raw1 = spark.read.schema(ST.CRAWL_LOG_SCHEMA).parquet(log_glob)
+    rounds1, n_rows1 = (
+        {r["round"] for r in raw1.select("round").distinct().collect()},
+        raw1.count(),
+    )
+
+    ckpt = str(tmp_path / "ckpt_poll")
+    q1 = ST.run_available_now(ST.stream_crawl_log(spark, cat.root), "log_poll1", ckpt)
+    got1 = {r["round"] for r in spark.sql("SELECT DISTINCT round FROM log_poll1").collect()}
+    assert got1 == rounds1
+
+    # two MORE rounds commit after poll 1's stream was built
+    # (run(n) is the TOTAL round count; resume continues from round 2)
+    mk().run(4, resume=True)
+    raw2 = spark.read.schema(ST.CRAWL_LOG_SCHEMA).parquet(log_glob)
+    rounds2, n_rows2 = (
+        {r["round"] for r in raw2.select("round").distinct().collect()},
+        raw2.count(),
+    )
+    assert rounds2 > rounds1  # the engine really added rounds
+
+    # per-poll contract: rebuild the stream; the shared checkpoint
+    # makes the poll incremental
+    q2 = ST.run_available_now(ST.stream_crawl_log(spark, cat.root), "log_poll2", ckpt)
+    got2 = {r["round"] for r in spark.sql("SELECT DISTINCT round FROM log_poll2").collect()}
+    assert got2 == rounds2
+    poll2_input = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert poll2_input == n_rows2 - n_rows1  # only the delta files read
