@@ -1142,7 +1142,14 @@ def dup_clusters(
     alternation buys at 10^10 docs, so a 1000-hop dup chain converges
     in ~10 rounds. The loop stops early when no label changes and
     RAISES if it exhausts ``max_iter`` un-converged — silently capped
-    labels would be wrong with no signal (VERDICT r2 #4)."""
+    labels would be wrong with no signal (VERDICT r2 #4).
+
+    The iteration runs ONLY over edge-connected vertices (round 4): a
+    doc outside the dup graph can never change labels, so carrying it
+    through every propagation join/agg is pure waste — and at 10^10
+    docs with a sparse dup graph the edge-vertex set is orders of
+    magnitude smaller than the corpus. Isolated docs union back in as
+    their own cluster (one anti-join, no iteration)."""
     # persist the symmetric edge set: ``pairs`` is usually an expensive
     # LSH pipeline, and every iteration joins it — without the persist
     # it would be recomputed per round
@@ -1153,9 +1160,17 @@ def dup_clusters(
         )
         .persist()
     )
-    labels = docs.select(
+    all_ids = docs.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
     )
+    # the edge-vertex set is tiny (2 × pairs distinct ids) — pin it so
+    # the isolated branch, consumed lazily after sym unpersists, never
+    # recomputes the LSH pipeline
+    edge_ids = (
+        sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    )
+    isolated = all_ids.join(edge_ids, "id", "left_anti")
+    labels = all_ids.join(edge_ids, "id", "left_semi")
     changed = -1
     try:
         for _ in range(max_iter):
@@ -1204,7 +1219,10 @@ def dup_clusters(
             f"dup_clusters: labels still changing after {max_iter} iterations "
             "(component diameter > 2^max_iter) — raise max_iter"
         )
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
+    return (
+        labels.unionByName(isolated)
+        .select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
+    )
 
 
 def dup_clusters_sql(
