@@ -85,7 +85,11 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, FEATURES_SCHEMA)
+    # project to the two consumed columns BEFORE the UDF: mapInPandas
+    # otherwise ships the full input row (incl. the meta struct, which
+    # defeats parquet column pruning — the scan must then read
+    # lang/source just to build a struct nobody decodes)
+    return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
 
 
 def docs_as_media(docs: DataFrame) -> DataFrame:
@@ -134,7 +138,7 @@ def resize_media(media: DataFrame, max_dim: int = 256, fake: bool = True) -> Dat
                 out["new_height"].append(math.floor(h * scale))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, RESIZE_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
 def sample_frames(
@@ -168,7 +172,7 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, FRAMES_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(run, FRAMES_SCHEMA)
 
 
 PROFILE_SCHEMA = (
@@ -229,7 +233,7 @@ def media_profile(
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, PROFILE_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(run, PROFILE_SCHEMA)
 
 
 def media_profile_sql(

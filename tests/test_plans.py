@@ -86,3 +86,13 @@ def test_corpus_pipeline_has_no_cartesian(spark):
     plan = _plan(E.queries()["corpus_pipeline"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_profile_scan_prunes_to_consumed_columns(spark):
+    """The media operators project to (media_id, payload) BEFORE the
+    mapInPandas — otherwise the UDF's full-row input schema forces the
+    parquet scan to read lang/source just to build a meta struct the
+    kernel never decodes."""
+    plan = _plan(E.queries()["media_features"](spark, SF_DIR))
+    assert "struct<doc_id:bigint,text:string>" in plan, plan
+    assert "source" not in plan.split("ReadSchema")[1][:120]
