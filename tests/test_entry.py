@@ -84,24 +84,35 @@ def test_driver_query_persist_flat(spark):
     dup_clusters explicitly releases superseded iteration checkpoints.
     The two checkpoints a returned plan legitimately pins (edge-vertex
     set + final labels) are reclaimed by ContextCleaner once the
-    DataFrame is garbage; the check is GC-assisted with a deadline so
-    asynchronous cleanup doesn't flake it."""
+    DataFrame is garbage — asynchronously, so BOTH measurements (the
+    post-first-invocation baseline and the post-repeat count) are
+    settled to a GC fixpoint before comparing; comparing a raw
+    baseline against a settled final count flaked by the handful of
+    checkpoints that happened to be collected on one side only."""
     import gc
     import time as _time
 
     jsc = spark.sparkContext._jsc
+
+    def settled_size(deadline_s: float = 90.0, quiet_s: float = 5.0) -> int:
+        best = jsc.getPersistentRDDs().size()
+        deadline = _time.time() + deadline_s
+        last_drop = _time.time()
+        while _time.time() < deadline and _time.time() - last_drop < quiet_s:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            _time.sleep(1.0)
+            cur = jsc.getPersistentRDDs().size()
+            if cur < best:
+                best, last_drop = cur, _time.time()
+        return best
+
     q = E.queries()["corpus_pipeline"]
     q(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-    steady = jsc.getPersistentRDDs().size()
+    steady = settled_size()
     for _ in range(2):
         q(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-    deadline = _time.time() + 60
-    size = jsc.getPersistentRDDs().size()
-    while size > steady and _time.time() < deadline:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        _time.sleep(1.0)
-        size = jsc.getPersistentRDDs().size()
+    size = settled_size()
     assert size <= steady, (
         f"corpus_pipeline leaks persisted intermediates: {steady} -> {size}"
     )
