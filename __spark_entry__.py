@@ -98,9 +98,15 @@ def _slot_release(key: str) -> list[DataFrame]:
     """Unpersist the previous invocation's owned caches and return a
     fresh owner list, pre-registered under ``key``: persists appended
     to it (directly or via operator ``owner=`` params) are released on
-    the next ``_slot_release(key)``."""
+    the next ``_slot_release(key)``. Slot entries may be CacheManager
+    persists (released by unpersist) or localCheckpoints (released by
+    the explicit RDD unpersist helper; unpersist() is a no-op on
+    them) — each release path is a no-op on the other kind."""
+    from crawlspark.textops import _release_checkpoint
+
     for prev in _PERSIST_SLOTS.pop(key, []):
         prev.unpersist()
+        _release_checkpoint(prev)
     owned: list[DataFrame] = []
     _PERSIST_SLOTS[key] = owned
     return owned
@@ -1244,9 +1250,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawlspark.textops import dup_clusters, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    owned = _slot_release("dedup_clusters")
     return dup_clusters(
         docs,
-        minhash_lsh_pairs(docs, threshold=0.5, owner=_slot_release("dedup_clusters")),
+        minhash_lsh_pairs(docs, threshold=0.5, owner=owned),
+        owner=owned,
     )
 
 
@@ -1324,10 +1332,13 @@ def q_boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LEVEL boilerplate removal: segments recurring in >= 3
     distinct docs are dropped and each doc is reassembled in order —
     the CCNet/RefinedWeb shared-lines filter. One segment-key shuffle
-    (map-side combined) + one doc_id reassembly shuffle."""
+    (map-side combined) + one doc_id reassembly shuffle; the segment
+    frame is slot-owned (it feeds the census and the reassembly —
+    three evaluations of the Arrow segmentation without the persist)."""
     from crawlspark.corpusops import boilerplate_remove
 
-    return boilerplate_remove(_t(spark, sf_dir, "documents"))
+    owned = _slot_release("boilerplate_remove")
+    return boilerplate_remove(_t(spark, sf_dir, "documents"), owner=owned)
 
 
 def sql_boilerplate_remove() -> str:
@@ -1397,7 +1408,10 @@ def _corpus_pipeline_dag(
         .where(F.col("keep_repetition"))
         .select("doc_id", "clean_text"),
     )
-    bp = stage("boilerplate", boilerplate_remove(kept, text_col="clean_text"))
+    bp = stage(
+        "boilerplate",
+        boilerplate_remove(kept, text_col="clean_text", owner=owner),
+    )
     # exact dedup on the fully-cleaned text: min doc_id survives
     ded = (
         bp.groupBy(F.md5(F.trim(F.lower(F.col("clean_text")))).alias("h"))
@@ -1420,7 +1434,7 @@ def _corpus_pipeline_dag(
         "lsh_pairs",
         minhash_lsh_pairs(final, threshold=0.5, text_col="clean_text", owner=owner),
     )
-    clus = dup_clusters(final, pairs)
+    clus = dup_clusters(final, pairs, owner=owner)
     sizes = clus.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_neardups")
     )
@@ -1451,16 +1465,41 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     seven stage generators as CTEs (the near-dup stage as a nested
     recursive CTE) — one oracle for the whole DAG. The near-dup stage
     is non-vacuous on the fixture: 7 LSH pairs survive exact dedup at
-    sf0.01 and collapse here. Every persisted intermediate (the
-    exact-dedup survivors plus minhash_lsh_pairs' two branch-point
-    frames) is slot-owned: re-invocation releases the previous
-    invocation's copies first (r4 #1;
-    tests/test_entry.py::test_driver_query_persist_flat)."""
+    sf0.01 and collapse here. Every persisted intermediate is
+    slot-owned: re-invocation releases the previous invocation's
+    copies first (r4 #1;
+    tests/test_entry.py::test_driver_query_persist_flat).
+
+    Persisted boundaries (round 5): every stage output the downstream
+    DAG references MORE THAN ONCE — pii_redact (feeds the repetition
+    metrics AND the filter join-back), boilerplate (feeds the dedup
+    census AND the survivor join), exact_dedup (feeds the LSH band
+    pipeline, both verify-join sides, the label init, and the
+    representative join) — plus boilerplate_remove's internal segment
+    frame and minhash_lsh_pairs' two branch frames via ``owner``.
+    With only exact_dedup persisted the one-DAG form re-evaluated the
+    regex/Arrow-heavy subtrees up to ~6x (measured 2.5x wall vs the
+    checkpoint-per-boundary staged run). The boundary pin is a LAZY
+    ``localCheckpoint``, not ``persist``: the components loop runs an
+    action per iteration, and each action re-canonicalizes every
+    cached plan it references — persist leaves the full logical
+    subtree in the plan (measured WORSE than no pin at all, ~5x the
+    staged run), while the checkpoint truncates it to a LogicalRDD
+    scan, which is what makes the staged variant fast. lsh_pairs and
+    components_reps are pinned for the same per-iteration planning
+    reason: they sit under (or just above) the components loop, whose
+    every iteration re-analyzes whatever plan tree the edge set
+    carries. At 100 TB these boundaries are exactly the inter-stage
+    tables a production pipeline materializes to storage."""
     owned = _slot_release("corpus_pipeline")
+    pinned_stages = {
+        "pii_redact", "boilerplate", "exact_dedup", "lsh_pairs",
+        "components_reps",
+    }
 
     def stage(name: str, df: DataFrame) -> DataFrame:
-        if name == "exact_dedup":
-            df = df.persist()
+        if name in pinned_stages:
+            df = df.localCheckpoint(eager=False)
             owned.append(df)
         return df
 

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from crawlspark.textops import tokens_col, tokens_sql
+from crawlspark.textops import _branch_persist, tokens_col, tokens_sql
 
 # ---------------------------------------------------------------------------
 # PII redaction (plant → count → redact; the plant makes the synthetic
@@ -288,6 +288,7 @@ def boilerplate_remove(
     id_col: str = "doc_id",
     text_col: str = "text",
     impl: str = "pandas",
+    owner: list | None = None,
 ) -> DataFrame:
     """(doc_id, n_segs, n_boiler, clean_text): drop every segment that
     appears in >= min_docs DISTINCT docs, rejoin the survivors in
@@ -338,6 +339,12 @@ def boilerplate_remove(
             F.col(id_col).alias("doc_id"),
             segments_col(tokens_col(F.col(text_col))).alias("segs"),
         )
+    # branch-point persist: `base` feeds the boilerplate census (via
+    # ex, itself used on both sides of the anti-join) AND the final
+    # n_segs projection — three evaluations of the segmentation (and
+    # of everything upstream of ``docs``) without it. At corpus scale
+    # this is the segment table a staged run would materialize anyway.
+    base = _branch_persist(base, owner)
     ex = base.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
     boiler = (
         ex.groupBy("seg")

@@ -1147,6 +1147,7 @@ def dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 10,
+    owner: list | None = None,
 ) -> DataFrame:
     """(doc_id, cluster): cluster = min doc_id in the doc's connected
     component of the (id_a, id_b) dup graph; isolated docs are their
@@ -1164,7 +1165,13 @@ def dup_clusters(
     through every propagation join/agg is pure waste — and at 10^10
     docs with a sparse dup graph the edge-vertex set is orders of
     magnitude smaller than the corpus. Isolated docs union back in as
-    their own cluster (one anti-join, no iteration)."""
+    their own cluster (one anti-join, no iteration).
+
+    The RETURNED plan pins two checkpoints (the edge-vertex set and
+    the final labels). With ``owner`` they are registered for
+    caller-side release (the driver's slot discipline — deterministic
+    flat persisted-RDD count across re-invocations); without it they
+    are reclaimed by ContextCleaner once the DataFrame is garbage."""
     # persist the symmetric edge set: ``pairs`` is usually an expensive
     # LSH pipeline, and every iteration joins it — without the persist
     # it would be recomputed per round
@@ -1184,6 +1191,8 @@ def dup_clusters(
     edge_ids = (
         sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
     )
+    if owner is not None:
+        owner.append(edge_ids)
     isolated = all_ids.join(edge_ids, "id", "left_anti")
     labels = all_ids.join(edge_ids, "id", "left_semi")
     # Convergence is detected by the LABEL SUM, not an old-vs-new join:
@@ -1252,6 +1261,10 @@ def dup_clusters(
             f"dup_clusters: labels still changing after {max_iter} iterations "
             "(component diameter > 2^max_iter) — raise max_iter"
         )
+    if owner is not None:
+        # the final labels checkpoint (a plain non-checkpoint DF when
+        # the loop never ran — release is a no-op on those)
+        owner.append(labels)
     return (
         labels.unionByName(isolated)
         .select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
