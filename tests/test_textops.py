@@ -368,6 +368,63 @@ def test_dup_clusters_nonconvergence_raises(spark):
         T.dup_clusters(docs, pairs, max_iter=2)
 
 
+def test_dup_clusters_random_graphs_vs_union_find(spark):
+    """Adversarial topology stress (round 5): seeded random dup graphs
+    — mixtures of cliques, stars, cycles, chains, and isolated docs,
+    plus self-loops and duplicate/reversed edges — must label exactly
+    like a pure-Python union-find. The hand-built chain tests pin the
+    doubling recurrence; this pins it on arbitrary shapes."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(3):
+        n = 60 + 20 * trial
+        ids = list(range(n))
+        edges = []
+        # random clique
+        cl = rng.sample(ids, 5)
+        edges += [(a, b) for a in cl for b in cl if a < b]
+        # star
+        hub, *spokes = rng.sample(ids, 7)
+        edges += [(hub, s) for s in spokes]
+        # cycle
+        cyc = rng.sample(ids, 6)
+        edges += list(zip(cyc, cyc[1:] + cyc[:1]))
+        # random chain + noise edges, self-loops, dup/reversed edges
+        ch = rng.sample(ids, 8)
+        edges += list(zip(ch, ch[1:]))
+        edges += [tuple(rng.sample(ids, 2)) for _ in range(10)]
+        edges += [(ids[0], ids[0])]
+        edges += [(b, a) for (a, b) in rng.sample(edges, 5)]
+        edges += rng.sample(edges, 5)
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min id per component (find after full union
+        # already yields it because we always parent the larger root)
+        want = {i: find(i) for i in ids}
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["cluster"]
+            for r in T.dup_clusters(docs, pairs).collect()
+        }
+        assert got == want, f"trial {trial}: mismatch vs union-find"
+
+
 def test_dup_clusters_vs_duckdb(spark, docs):
     con = _duck([("documents", docs.toPandas())])
     _cmp(
