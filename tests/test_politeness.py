@@ -105,3 +105,59 @@ def test_pop_per_host_matches_naive_window(spark):
     for r in per_host:
         cap = {"hot.example": 100, "cold0.example": 3}.get(r["host"], 5)
         assert r["count"] <= cap
+
+
+def test_pop_per_host_random_budgets_vs_naive(spark):
+    """Randomized boundary stress (round 5): seeded random host sizes
+    and budgets hitting every fast-path/contended boundary — remaining
+    = 0, count == remaining (uncontended by exactly one), count ==
+    remaining + 1 (minimally contended), budget ≫ count, and hosts
+    absent from the budget dim (default applies) — must match the
+    naive single-window oracle exactly, with no row lost or duplicated
+    and every per-host cap respected."""
+    import random
+
+    rng = random.Random(0xF40)
+    rows, budgets = [], []
+    link = 0
+    for h in range(24):
+        host = f"h{h}.example"
+        n = rng.choice([1, 2, 3, 5, 8, 20, 60])
+        for _ in range(n):
+            rows.append((host, rng.randrange(3), rng.randrange(13),
+                         rng.randrange(7), link))
+            link += 1
+        case = h % 6
+        if case == 0:
+            budgets.append((host, 0))
+        elif case == 1:
+            budgets.append((host, n))        # count == remaining
+        elif case == 2:
+            budgets.append((host, max(n - 1, 0)))  # minimally contended
+        elif case == 3:
+            budgets.append((host, n + 50))   # budget >> count
+        elif case == 4:
+            budgets.append((host, rng.randrange(1, n + 1)))
+        # case 5: absent from budget — default_remaining applies
+    cand = spark.createDataFrame(
+        rows, "host string, disc_round int, seed_idx int, depth int, link_idx int"
+    )
+    budget = spark.createDataFrame(budgets, "host string, remaining long")
+
+    got = pop_per_host(cand, budget, salt_shards=4, default_remaining=2)
+
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in DISCOVERY_KEY])
+    naive = (
+        cand.join(budget, "host", "left")
+        .withColumn("remaining", F.coalesce("remaining", F.lit(2)))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("popped", F.col("_rn") <= F.col("remaining"))
+    )
+    key = lambda r: (r["host"], r["disc_round"], r["seed_idx"], r["depth"], r["link_idx"])  # noqa: E731
+    assert {key(r) for r in got.filter("popped").collect()} == {
+        key(r) for r in naive.filter("popped").collect()
+    }
+    assert got.count() == len(rows)
+    caps = dict(budgets)
+    for r in got.filter("popped").groupBy("host").count().collect():
+        assert r["count"] <= caps.get(r["host"], 2), r["host"]
