@@ -207,3 +207,70 @@ def test_seek_jora_experience_and_working_right_extracted(cat4):
     assert sj.filter(F.col("number_of_experience").isin(-1, 1)).count() > 0
     wr = {r["is_working_right"] for r in sj.select("is_working_right").distinct().collect()}
     assert wr == {True, False}
+
+
+def test_merge_incremental_equals_batch_random(spark):
+    """Randomized upsert associativity (round 5): folding
+    merge_job_metadata round-by-round must equal one merge of all rows
+    at once, and both must equal a pure-Python keep-max oracle over
+    (round desc, url desc, job_idx desc nulls last) per natural key —
+    the property the O(touched) bucketed merge relies on across an
+    arbitrary round history."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    schema = (
+        "url string, crawled_website_id int, location string, role string, "
+        "company string, listed_date string, contract_type string, "
+        "round int, job_idx int"
+    )
+    locs, roles = ["syd", "mel", "bne"], ["de", "ds", "swe"]
+    batches, url_n = [], 0
+    for rnd in range(4):
+        rows = []
+        for _ in range(40):
+            rows.append((
+                f"u{url_n}",
+                rng.choice([1, 2, -1]),
+                rng.choice(locs),
+                rng.choice(roles),
+                "acme" if rng.random() < 0.7 else "globex",
+                rng.choice(["2024-01-01", "2024-02-02"]),
+                "full time",
+                rnd,
+                rng.choice([None, 0, 1, 2]),
+            ))
+            url_n += 1
+        batches.append(rows)
+
+    # pure-Python oracle: per natural key keep the max of the total
+    # order (round, url, job_idx with NULL smallest)
+    def okey(r):
+        return (r[1], r[2], r[3], r[4], r[5], r[6])
+
+    def rank(r):
+        return (r[7], r[0], (r[8] is not None, r[8] if r[8] is not None else 0))
+
+    best = {}
+    for rows in batches:
+        for r in rows:
+            k = okey(r)
+            if k not in best or rank(r) > rank(best[k]):
+                best[k] = r
+    want = {r[0] for r in best.values()}
+
+    # incremental fold
+    acc = None
+    for rows in batches:
+        acc = warehouse.merge_job_metadata(acc, spark.createDataFrame(rows, schema))
+    got_inc = {r["url"] for r in acc.collect()}
+    # one-shot batch
+    all_rows = [r for rows in batches for r in rows]
+    got_all = {
+        r["url"]
+        for r in warehouse.merge_job_metadata(
+            None, spark.createDataFrame(all_rows, schema)
+        ).collect()
+    }
+    assert got_inc == want
+    assert got_all == want
